@@ -1,0 +1,66 @@
+"""Pipeline configuration.
+
+The reference passes (nu, lambda, degree, dim) as scalars into every C call
+(/root/reference/src/cuTWED.h:28-36); our engine carries them in one config
+dataclass broadcast to scorer actors via constructor args.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class TwedConfig:
+    """TWED algorithm parameters (semantics of reference_implementation/twed.c:54-67).
+
+    nu      — elasticity / stiffness (time-penalty multiplier), nu >= 0
+    lamb    — deletion penalty, lamb >= 0
+    degree  — Lp-norm power; degree > 0 takes the p-th root, a negative
+              degree reproduces Marteau's original "no root" results
+              (hidden feature of the reference CPU path, twed.c:113-119)
+    """
+
+    nu: float = 1.0
+    lamb: float = 1.0
+    degree: int = 2
+
+    def __post_init__(self) -> None:
+        if self.degree == 0:
+            raise ValueError("degree must be nonzero")
+        if self.nu < 0:
+            raise ValueError("nu must be >= 0")
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end entity-resolution pipeline configuration."""
+
+    twed: TwedConfig = field(default_factory=TwedConfig)
+
+    # --- tokenizer ---
+    token_modulus: int = 1 << 16          # token-hash values land in [0, 1) with this resolution
+    max_tokens: int = 4096                # truncate pathological files (counters report truncations)
+
+    # --- blocking ---
+    length_bucket_base: float = 1.35      # geometric length buckets => near-equal series length per block
+    minhash_perms: int = 16               # total minhash permutations
+    minhash_bands: int = 4                # bands of (perms // bands) rows each
+    shingle_k: int = 3                    # token shingle width for minhash
+    max_block_size: int = 256             # cap on series per block (salting splits bigger blocks)
+    block_salt_seed: int = 0x5EED
+
+    # --- scoring ---
+    score_batch_pairs: int = 512          # candidate pairs per scorer batch
+    scorer_concurrency: int = 8           # actor pool size
+    dtype: str = "float64"
+
+    # --- clustering ---
+    threshold: float = 0.35               # on length-normalized TWED: twed / (n_a + n_b)
+    max_driver_edges: int = 5_000_000     # above this, use distributed label propagation
+
+    # --- checkpointing ---
+    checkpoint_dir: str | None = None
+
+    def to_dict(self) -> dict:
+        return asdict(self)
