@@ -80,28 +80,70 @@ def _sweep(
     TA : (SA, Ma) timestamps; la: (SA,) true lengths
     ia : (P,) pair -> pool index; same for B side.
     Returns (P,) TWED distances.
+
+    The per-pair arrays are expanded ONCE (A[ia] etc.); each diagonal then
+    touches only contiguous / reversed *slices* of those arrays — no fancy
+    indexing in the loop.  Cells outside a pair's own (la, lb) rectangle
+    are computed with garbage-but-finite values; they are never read by any
+    in-rectangle cell (neighbors of an in-rectangle cell are in-rectangle),
+    so no masking is needed inside the loop.
     """
     if degree == 0:
         raise ValueError("degree must be nonzero")
     deg, root = abs(int(degree)), degree > 0
     dtype = A.dtype
     P = ia.shape[0]
-    SA, Ma, dim = A.shape
-    SB, Mb, dimb = B.shape
-    if dim != dimb:
+    if A.shape[2] != B.shape[2]:
         raise ValueError("dimension mismatch between A and B pools")
 
-    DA = _local_costs(A, deg, root)          # (SA, Ma+1)
-    DB = _local_costs(B, deg, root)          # (SB, Mb+1)
+    # compiled fast path (dim==1, float64) — same semantics, ~5-8x faster;
+    # falls through to the NumPy sweep when no compiler is available
+    if A.shape[2] == 1 and dtype == np.float64 and P > 0:
+        from cutwed_ray.kernel.ckernel import twed_pairs_c
 
-    la_p = la[ia].astype(np.int64)           # (P,)
+        res_c = twed_pairs_c(A, TA, la, B, TB, lb, ia, ib, nu, lamb, degree)
+        if res_c is not None:
+            return res_c
+
+    DAp = _local_costs(A, deg, root)         # (SA, Ma+1) — once per unique series
+    DBp = _local_costs(B, deg, root)
+
+    la_p = la[ia].astype(np.int64)
     lb_p = lb[ib].astype(np.int64)
     res = np.full(P, np.inf, dtype=dtype)
     if P == 0:
         return res
 
-    iaN = ia[:, None]
-    ibN = ib[:, None]
+    dim = A.shape[2]
+
+    # expand per-pair (one gather per array, then contiguous slices only).
+    # The B side is stored REVERSED along the sequence axis with one extra
+    # pad column, so every anti-diagonal access below is a forward slice:
+    #   value at col c-1  ->  Brev index (Mb - d + r)
+    Ae, TAe, DAe = A[ia], TA[ia], DAp[ia]
+    Ma = A.shape[1]
+    Mb = B.shape[1]
+    if dim == 1:
+        Ae = np.ascontiguousarray(Ae[:, :, 0])
+        Brev = np.zeros((P, Mb + 1), dtype=dtype)
+        Brev[:, :Mb] = B[ib, ::-1, 0]
+    else:
+        Brev = np.zeros((P, Mb + 1, dim), dtype=dtype)
+        Brev[:, :Mb] = B[ib, ::-1, :]
+    TBrev = np.zeros((P, Mb + 1), dtype=dtype)
+    TBrev[:, :Mb] = TB[ib, ::-1]
+    DBrev = DBp[ib, ::-1]                      # (P, Mb+1): DBrev[:, k] = DB[:, Mb-k]
+    DBrev = np.ascontiguousarray(DBrev)
+
+    if dim == 1 and root:
+        lp = np.abs                            # (|x|^p)^(1/p) == |x| in R^1
+    elif dim == 1:
+        def lp(x, deg=deg):
+            return np.abs(x) ** deg            # no-root mode
+    else:
+        def lp(x, deg=deg, root=root):
+            return _lp(x, deg, root)
+
     nu = dtype.type(nu)
     lamb = dtype.type(lamb)
     INF = dtype.type(np.inf)
@@ -111,71 +153,85 @@ def _sweep(
     prev1 = np.full((P, Ma + 1), INF, dtype=dtype)
     cur = np.full((P, Ma + 1), INF, dtype=dtype)
 
+    pending = int(P)
     dmax = int((la_p + lb_p).max())
     for d in range(dmax + 1):
         prev2, prev1, cur = prev1, cur, prev2
-        cur.fill(INF)
         if d == 0:
             cur[:, 0] = dtype.type(0)
         else:
-            lo = max(1, d - Mb)              # row 0 and col 0 cells stay inf
+            # borders of this diagonal: cell (0, d) at buffer index 0 and,
+            # when d <= Ma, cell (d, 0) at buffer index d — both infinity
+            # (twed.c:162-167).  Interior stale positions are provably never
+            # read (any in-rectangle cell's neighbors are in-rectangle), so
+            # no other clearing is needed.
+            cur[:, 0] = INF
+            if d <= Ma:
+                cur[:, d] = INF
+            lo = max(1, d - Mb)               # rows on this diagonal (col >= 1)
             hi = min(Ma, d - 1)
             if lo <= hi:
-                r = np.arange(lo, hi + 1)          # (R,) DP rows on this diag
-                c = d - r                          # (R,) DP cols, all >= 1
-                rm1 = r - 1
-                rm2 = np.maximum(r - 2, 0)
-                cm1 = c - 1
-                cm2 = np.maximum(c - 2, 0)
+                first_r1 = lo == 1            # first position has r == 1
+                last_c1 = (d - hi) == 1       # last position has c == 1
+                j0 = Mb - d + lo              # Brev index of col (c-1) at r=lo
 
-                # gathers (P, R, ...) out of the pools
-                a1 = A[iaN, rm1[None, :], :]
-                b1 = B[ibN, cm1[None, :], :]
-                d1 = _lp(a1 - b1, deg, root)
-                two = ((r > 1) & (c > 1))          # (R,) depends only on d, r
-                if two.any():
-                    a2 = A[iaN, rm2[None, :], :]
-                    b2 = B[ibN, cm2[None, :], :]
-                    d2 = _lp(a2 - b2, deg, root)
-                    d2 *= two
-                    dloc = d1 + d2
-                else:
-                    dloc = d1
+                # local match cost (src/cuTWED_core.h:137-153)
+                a1 = Ae[:, lo - 1:hi]
+                b1 = Brev[:, j0:j0 + hi - lo + 1]
+                d1 = lp(a1 - b1)
+                a2 = Ae[:, max(lo - 2, 0):hi - 1]
+                if first_r1:
+                    a2 = np.concatenate(
+                        [np.zeros((P, 1) + Ae.shape[2:], dtype=dtype), a2], axis=1)
+                b2 = Brev[:, j0 + 1:j0 + hi - lo + 2]
+                d2 = lp(a2 - b2)
+                if first_r1:
+                    d2[:, 0] = 0
+                if last_c1:
+                    d2[:, -1] = 0
 
-                ta1 = TA[iaN, rm1[None, :]]
-                tb1 = TB[ibN, cm1[None, :]]
-                ta2 = TA[iaN, rm2[None, :]]
-                tb2 = TB[ibN, cm2[None, :]]
+                ta1 = TAe[:, lo - 1:hi]
+                tb1 = TBrev[:, j0:j0 + hi - lo + 1]
+                ta2 = TAe[:, max(lo - 2, 0):hi - 1]
+                if first_r1:
+                    ta2 = np.concatenate([np.zeros((P, 1), dtype=dtype), ta2], axis=1)
+                tb2 = TBrev[:, j0 + 1:j0 + hi - lo + 2]
 
                 # case 1, keep both (src/cuTWED_core.h:169-175)
-                ht = np.abs(ta1 - tb1)
-                if two.any():
-                    ht += np.abs(ta2 - tb2) * two
-                val = prev2[:, lo - 1:hi] + dloc + nu * ht
+                ht2 = np.abs(ta2 - tb2)
+                if first_r1:
+                    ht2[:, 0] = 0
+                if last_c1:
+                    ht2[:, -1] = 0
+                val = prev2[:, lo - 1:hi] + (d1 + d2 + nu * (np.abs(ta1 - tb1) + ht2))
 
                 # case 2, delete point in A (src/cuTWED_core.h:177-183)
-                dta = ta1 - ta2 * (r > 1)          # r==1 -> TA[0]
+                dta = ta1 - ta2
+                if first_r1:
+                    dta[:, 0] = ta1[:, 0]     # r == 1 -> htrans = TA[0]
                 np.minimum(
                     val,
-                    DA[iaN, r[None, :]] + prev1[:, lo - 1:hi] + lamb + nu * dta,
+                    DAe[:, lo:hi + 1] + prev1[:, lo - 1:hi] + (lamb + nu * dta),
                     out=val,
                 )
 
                 # case 3, delete point in B (src/cuTWED_core.h:185-191)
-                dtb = tb1 - tb2 * (c > 1)
+                dtb = tb1 - tb2
+                if last_c1:
+                    dtb[:, -1] = tb1[:, -1]   # c == 1 -> htrans = TB[0]
                 np.minimum(
                     val,
-                    DB[ibN, c[None, :]] + prev1[:, lo:hi + 1] + lamb + nu * dtb,
+                    DBrev[:, j0:j0 + hi - lo + 1] + prev1[:, lo:hi + 1] + (lamb + nu * dtb),
                     out=val,
                 )
-
-                # cells beyond a pair's own (la, lb) rectangle stay inf
-                valid = (r[None, :] <= la_p[:, None]) & (c[None, :] <= lb_p[:, None])
-                cur[:, lo:hi + 1] = np.where(valid, val, INF)
+                cur[:, lo:hi + 1] = val
 
         done = (la_p + lb_p) == d
         if done.any():
             res[done] = cur[done, la_p[done]]
+            pending -= int(done.sum())
+            if pending == 0:
+                break
 
     return res
 

@@ -1,0 +1,240 @@
+"""The flagship pipeline: blocking + TWED pair scoring + transitive clustering.
+
+Lifecycle (BASELINE.json north_star; the Ray-Data re-expression of the
+reference's batch entry point, SURVEY.md §3.2):
+
+    read_parquet(repo_files)
+      -> map_batches(TokenizeStage)            content -> token-hash series
+      -> map_batches(ExplodeBands)             rows x bands -> block rows
+      -> groupby(bucket).map_groups(ScoreBucket)   THE shuffle + actor-pool scorer
+      -> filter(twed_norm <= tau)              edges
+      -> union-find / label propagation        clusters
+      -> write_parquet
+
+Every stage is a streaming Arrow-batch transform; nothing materializes the
+corpus except the blocking shuffle itself.  With ``cfg.checkpoint_dir``
+set, the tokenized table and each scoring shard are checkpointed to
+Parquet with a manifest, and a rerun skips completed shards
+(deterministic shard = bucket % n_shards).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from cutwed_ray.config import PipelineConfig, TwedConfig
+from cutwed_ray.stages.blocking import ExplodeBands
+from cutwed_ray.stages.scorer import ScoreBucket
+from cutwed_ray.stages.tokenize import TokenizeStage
+from cutwed_ray.stages.cluster import assign_clusters, union_find_driver
+
+#: pipeline default TWED params for token series in [0,1) with unit-step
+#: timestamps: small nu keeps the time penalty subordinate to token costs
+#: (calibrated on the seeded synthetic corpus; see tests/test_pipeline_er.py)
+ER_TWED = TwedConfig(nu=0.01, lamb=1.0, degree=2)
+
+
+def default_config(**kw) -> PipelineConfig:
+    kw.setdefault("twed", ER_TWED)
+    return PipelineConfig(**kw)
+
+
+@dataclass
+class ERResult:
+    clusters: Any                 # Dataset: input cols + cluster_id
+    pairs: Any                    # Dataset: scored candidate pairs
+    metrics: dict = field(default_factory=dict)
+
+
+def _cfg_hash(cfg: PipelineConfig, extra: str = "") -> str:
+    return hashlib.sha256((json.dumps(cfg.to_dict(), sort_keys=True) + extra).encode()).hexdigest()[:16]
+
+
+def tokenize(ds, cfg: PipelineConfig):
+    return ds.map_batches(TokenizeStage(cfg), batch_format="pyarrow")
+
+
+def score_pairs(ds_files, cfg: PipelineConfig, n_buckets: int = 64,
+                scorer_concurrency: int | None = None):
+    """files Dataset -> scored candidate-pair Dataset (streaming, no checkpoint)."""
+    tok = tokenize(ds_files, cfg)
+    exploded = tok.map_batches(ExplodeBands(cfg, n_buckets), batch_format="pyarrow")
+    conc = scorer_concurrency or cfg.scorer_concurrency
+    pairs = exploded.groupby("bucket").map_groups(
+        ScoreBucket,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        concurrency=conc,
+        num_cpus=1,
+    )
+    return pairs
+
+
+def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
+           n_shards: int = 8, output_dir: str | None = None) -> ERResult:
+    """Run the full pipeline.  Resumable when cfg.checkpoint_dir is set."""
+    cfg = cfg or default_config()
+    t0 = time.time()
+    metrics: dict[str, Any] = {"config_hash": _cfg_hash(cfg, f"b{n_buckets}")}
+
+    if cfg.checkpoint_dir:
+        pairs = _score_with_checkpoint(ds_files, cfg, n_buckets, n_shards, metrics)
+    else:
+        pairs = score_pairs(ds_files, cfg, n_buckets)
+
+    edges = pairs.filter(
+        expr=f"twed_norm <= {cfg.threshold}"
+    ) if hasattr(pairs, "filter") else pairs
+    n_edges = edges.count()
+    metrics["n_edges"] = n_edges
+    if n_edges > cfg.max_driver_edges:
+        # scale path: distributed label propagation
+        from cutwed_ray.stages.cluster import label_propagation
+
+        labels = label_propagation(edges)
+        mapping = {
+            int(r["node"]): int(r["label"])
+            for r in labels.iter_rows()
+        }
+    else:
+        mapping = union_find_driver(edges)
+
+    tok = tokenize(ds_files, cfg)
+    clustered = assign_clusters(tok, mapping)
+
+    metrics["n_pairs_scored"] = pairs.count()
+    metrics["n_files"] = ds_files.count()
+    metrics["n_cluster_merges"] = len(mapping)
+    metrics["wall_sec"] = round(time.time() - t0, 3)
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        clustered.drop_columns(["tokens"]).write_parquet(os.path.join(output_dir, "clusters"))
+        with open(os.path.join(output_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2, default=str)
+    return ERResult(clusters=clustered, pairs=pairs, metrics=metrics)
+
+
+# ------------------------------------------------------------- checkpointing
+def _score_with_checkpoint(ds_files, cfg, n_buckets, n_shards, metrics):
+    """Shard-wise scoring with per-shard Parquet checkpoints + manifest.
+
+    Layout: {ckpt}/tokenized/ (stage-1 columnar checkpoint),
+    {ckpt}/pairs/shard={s}/ + {ckpt}/manifest.json with per-shard lineage
+    (config hash, bucket range, row count, wall time).  A rerun with the
+    same config hash skips completed shards — the deterministic
+    bucket -> shard mapping makes shard outputs stable across retries
+    (SURVEY.md §7.4 resumability).
+    """
+    import ray.data as rd
+
+    ckpt = cfg.checkpoint_dir
+    os.makedirs(ckpt, exist_ok=True)
+    man_path = os.path.join(ckpt, "manifest.json")
+    manifest = {"config_hash": metrics["config_hash"], "shards": {}}
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            old = json.load(f)
+        if old.get("config_hash") == manifest["config_hash"]:
+            manifest = old
+
+    tok_dir = os.path.join(ckpt, "tokenized")
+    if not manifest.get("tokenized_done"):
+        tokenize(ds_files, cfg).write_parquet(tok_dir)
+        manifest["tokenized_done"] = True
+        _write_manifest(man_path, manifest)
+
+    for s in range(n_shards):
+        key = str(s)
+        if manifest["shards"].get(key, {}).get("done"):
+            continue
+        t0 = time.time()
+        tok = rd.read_parquet(tok_dir)
+        exploded = tok.map_batches(ExplodeBands(cfg, n_buckets), batch_format="pyarrow")
+        shard_rows = exploded.filter(expr=f"bucket % {n_shards} == {s}")
+        pairs = shard_rows.groupby("bucket").map_groups(
+            ScoreBucket, fn_constructor_args=(cfg,),
+            batch_format="pyarrow", concurrency=cfg.scorer_concurrency, num_cpus=1,
+        )
+        out_dir = os.path.join(ckpt, "pairs", f"shard={s}")
+        tmp_dir = os.path.join(ckpt, "pairs", f"_tmp_shard={s}")
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        pairs.write_parquet(tmp_dir)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.replace(tmp_dir, out_dir)
+        manifest["shards"][key] = {
+            "done": True,
+            "rows": None,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        _write_manifest(man_path, manifest)
+
+    metrics["resumed_shards"] = sum(
+        1 for v in manifest["shards"].values() if v.get("done")
+    )
+    return rd.read_parquet(os.path.join(ckpt, "pairs"))
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, path)
+
+
+# ------------------------------------------------------------------ metrics
+def pairwise_f1(pairs_ds, truth_table: pa.Table, files_table: pa.Table,
+                cfg: PipelineConfig, mapping: dict[int, int] | None = None,
+                clusters_tbl: pa.Table | None = None) -> dict:
+    """Pairwise F1 on labeled same-block pairs (FIXTURES.md F2).
+
+    Candidate pairs = the pipeline's scored pairs (they share a block key by
+    construction); is_match = same ground-truth entity_id; predicted = same
+    final cluster.  Returns precision/recall/F1 for the *clustering* on the
+    labeled pair set.
+    """
+    from cutwed_ray.stages.hashing import hash_string_array, splitmix64
+
+    # ground-truth entity per row_id
+    rid = np.zeros(truth_table.num_rows, dtype=np.uint64)
+    for c in ("repo", "path", "commit"):
+        col = (truth_table if c in truth_table.column_names else files_table).column(c)
+        rid = splitmix64(rid ^ hash_string_array(col))
+    ent = truth_table.column("entity_id").to_numpy()
+    rid2ent = dict(zip(rid.tolist(), ent.tolist()))
+
+    pt = pairs_ds.select_columns(["id_a", "id_b"]).to_pandas()
+    ia = pt["id_a"].to_numpy(dtype=np.uint64)
+    ib = pt["id_b"].to_numpy(dtype=np.uint64)
+
+    if clusters_tbl is not None:
+        cid = dict(zip(clusters_tbl.column("row_id").to_numpy().tolist(),
+                       clusters_tbl.column("cluster_id").to_numpy().tolist()))
+        pred_same = np.array([cid.get(int(a), int(a)) == cid.get(int(b), int(b))
+                              for a, b in zip(ia, ib)])
+    else:
+        m = mapping or {}
+        pred_same = np.array([m.get(int(a), int(a)) == m.get(int(b), int(b))
+                              for a, b in zip(ia, ib)])
+    true_same = np.array([rid2ent.get(int(a)) == rid2ent.get(int(b))
+                          and rid2ent.get(int(a)) is not None
+                          for a, b in zip(ia, ib)])
+
+    tp = int((pred_same & true_same).sum())
+    fp = int((pred_same & ~true_same).sum())
+    fn = int((~pred_same & true_same).sum())
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-12)
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": prec, "recall": rec, "f1": f1,
+            "n_labeled_pairs": int(len(ia))}

@@ -1,0 +1,78 @@
+"""Blocking stage: explode rows into (block, bucket) rows for the scoring shuffle.
+
+Blocking key = (lang, len_bucket, band_id, band_hash) — language and
+geometric length bucket guarantee near-equal series lengths per block (the
+reference's batch kernel requires equal-length stacks, /root/reference/
+src/cuTWED.h:91-96; we only need *near*-equal since our sweep masks
+variable lengths), the MinHash band restricts to content-similar rows.
+
+Each row explodes into ``n_bands`` band rows.  Rows are then shuffled once
+on ``bucket = block_hash % n_buckets`` — a deliberately coarse key so one
+``map_groups`` task handles MANY blocks (amortizing per-task overhead and
+letting the scorer pool pairs from different blocks into shared kernel
+sweeps).  Skew: the bucket hash is uniform over blocks; pathological single
+blocks are capped inside the scorer (salted sub-blocks), not here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cutwed_ray.config import PipelineConfig
+from cutwed_ray.stages.hashing import hash_string_array, splitmix64
+
+#: columns the scorer needs per exploded row
+BLOCK_COLS = ["bucket", "block_key", "band_id", "row_id", "sha256", "n_tokens", "tokens"]
+
+
+class ExplodeBands:
+    """``ds.map_batches(ExplodeBands(cfg, n_buckets), batch_format="pyarrow")``.
+
+    Input: tokenized batch (TokenizeStage output).
+    Output: one row per (input row, band): block_key uint64, bucket int32,
+    band_id int8, plus row payload and the full band signature columns
+    (band_0..band_{B-1}) needed for cross-band pair dedup in the scorer.
+    """
+
+    def __init__(self, cfg: PipelineConfig, n_buckets: int = 64):
+        self.cfg = cfg
+        self.n_buckets = n_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        nb = cfg.minhash_bands
+        n = len(batch)
+        lang_h = hash_string_array(batch.column("lang"))
+        lb = batch.column("len_bucket").to_numpy().astype(np.uint64)
+        base_key = splitmix64(lang_h ^ splitmix64(lb + np.uint64(0xA5A5)))
+
+        bands = np.stack(
+            [batch.column(f"band_{i}").to_numpy() for i in range(nb)], axis=1
+        )  # (n, nb)
+
+        # block key per (row, band): mix(base ^ band_hash ^ band_id)
+        band_ids = np.arange(nb, dtype=np.uint64)
+        keys = splitmix64(base_key[:, None] ^ bands ^ (band_ids[None, :] + np.uint64(0x1234567)))
+        buckets = (keys % np.uint64(self.n_buckets)).astype(np.int32)
+
+        take_idx = np.repeat(np.arange(n, dtype=np.int64), nb)
+        cols = {
+            "bucket": pa.array(buckets.reshape(-1), pa.int32()),
+            "block_key": pa.array(keys.reshape(-1), pa.uint64()),
+            "band_id": pa.array(np.tile(np.arange(nb, dtype=np.int8), n), pa.int8()),
+        }
+        payload = batch.select(
+            [c for c in ("row_id", "sha256", "n_tokens", "tokens") if c in batch.column_names]
+            + [f"band_{i}" for i in range(nb)]
+        ).take(pa.array(take_idx))
+        out = pa.table({**cols, **{c: payload.column(c) for c in payload.column_names}})
+        return out
+
+
+def block_stats(exploded_ds) -> "pa.Table":
+    """Per-block row counts (diagnostics / skew report): block_key -> size."""
+    from ray.data.aggregate import Count
+
+    return exploded_ds.groupby("block_key").aggregate(Count(alias_name="block_size"))

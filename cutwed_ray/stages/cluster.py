@@ -1,0 +1,170 @@
+"""Transitive clustering: thresholded pair edges -> entity cluster labels.
+
+Two implementations (SURVEY.md §2.6):
+
+* ``union_find_driver`` — classic union-find over the edge list pulled to
+  the driver.  Edges are the *thresholded* pair set, which is orders of
+  magnitude smaller than the corpus (near-dup edges only); still, the
+  pipeline switches to the distributed path above ``cfg.max_driver_edges``.
+* ``label_propagation`` — distributed hash-to-min label propagation over
+  Ray ``Dataset.join``: every node starts with label = own id; each round
+  nodes take the min label over their neighborhood (both edge directions),
+  plus a pointer-jumping round (label <- label[label]) so convergence is
+  O(log diameter) rounds.
+
+Cluster id = min row_id of the connected component (deterministic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------- driver UF
+class _UF:
+    __slots__ = ("parent",)
+
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = x
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(x, x) != root:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if ra > rb:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+
+
+def union_find_driver(edges_ds) -> dict[int, int]:
+    """Collect (id_a, id_b) edge batches and union-find on the driver.
+
+    Returns {row_id: cluster_id} for every node touched by an edge, with
+    cluster_id = min row_id in the component.  Nodes without edges are
+    implicitly their own cluster (mapping absent).
+    """
+    uf = _UF()
+    for batch in edges_ds.select_columns(["id_a", "id_b"]).iter_batches(
+        batch_size=1 << 18, batch_format="pyarrow"
+    ):
+        a = batch.column("id_a").to_numpy()
+        b = batch.column("id_b").to_numpy()
+        for x, y in zip(a.tolist(), b.tolist()):
+            uf.union(x, y)
+    # canonicalize: root = min element of component
+    out: dict[int, int] = {}
+    members: dict[int, list[int]] = {}
+    for x in list(uf.parent.keys()):
+        members.setdefault(uf.find(x), []).append(x)
+    for root, ms in members.items():
+        cid = min(min(ms), root)
+        out[root] = cid
+        for m in ms:
+            out[m] = cid
+    return out
+
+
+def assign_clusters(ds, mapping: dict[int, int], id_col: str = "row_id"):
+    """Broadcast the (small) cluster mapping and label every row.
+
+    mapping is ray.put once; rows not in the mapping keep their own id
+    (singleton clusters).
+    """
+    import ray
+
+    ref = ray.put(mapping)
+
+    def label(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = batch.column(id_col).to_numpy()
+        lab = np.array([m.get(int(i), int(i)) for i in ids.tolist()], dtype=np.uint64)
+        return batch.append_column("cluster_id", pa.array(lab, pa.uint64()))
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- distributed labels
+def label_propagation(edges_ds, num_partitions: int = 32, max_rounds: int = 12):
+    """Distributed connected components over the edge Dataset.
+
+    Returns a Dataset (node uint64, label uint64) covering every node that
+    appears in an edge.  Implements hash-to-min: each round a node's label
+    becomes the min of its own label and its neighbors' labels, followed by
+    pointer jumping.  Deterministic; rounds bounded by max_rounds with an
+    early-exit convergence check on sum(labels).
+    """
+    import pyarrow.compute as pc
+
+    def to_directed(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy()
+        b = batch.column("id_b").to_numpy()
+        return pa.table({
+            "src": pa.array(np.r_[a, b], pa.uint64()),
+            "dst": pa.array(np.r_[b, a], pa.uint64()),
+        })
+
+    directed = edges_ds.select_columns(["id_a", "id_b"]).map_batches(
+        to_directed, batch_format="pyarrow"
+    ).materialize()
+
+    from ray.data.aggregate import Min
+
+    labels = (
+        directed.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
+        .map_batches(
+            lambda t: pa.table({
+                "node": t.column("src"),
+                "label": pc.min_element_wise(t.column("src"), t.column("nbr_min")),
+            }),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        # neighbor-min round: send my label to each neighbor, take min
+        msgs = directed.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("node",),
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        combined = msgs.union(labels.select_columns(["node", "label"]))
+        labels = combined.groupby("node").aggregate(Min("label", alias_name="label"))
+
+        # pointer jumping: label <- label(label)
+        lab2 = labels.map_batches(
+            lambda t: pa.table({"node2": t.column("node"), "label2": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        labels = labels.join(
+            lab2, join_type="left_outer", num_partitions=num_partitions,
+            on=("label",), right_on=("node2",),
+        ).map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "label": pc.coalesce(
+                    pc.min_element_wise(t.column("label"), t.column("label2")),
+                    t.column("label"),
+                ),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+
+        s = labels.sum("label")
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    return labels

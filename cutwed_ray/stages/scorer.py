@@ -1,0 +1,217 @@
+"""TWED scoring stage: one bucket of blocks in, scored candidate pairs out.
+
+Used as ``exploded.groupby("bucket").map_groups(ScoreBucket,
+fn_constructor_args=(cfg,), batch_format="pyarrow", concurrency=N)`` — an
+actor-pool stage (the analogue of the reference's device-buffer reuse via
+twed_malloc_dev, /root/reference/src/cuTWED_core.h:370-381: state and
+config live in the actor across groups, scratch is reused).
+
+Per bucket (which holds MANY blocks — the bucket key is deliberately
+coarse, see stages/blocking.py):
+
+1. segment rows into blocks by ``block_key`` (one vectorized argsort);
+2. within each block: collapse exact duplicates (same sha256 hash) into
+   0-distance pairs; salt-cap oversized blocks into sub-blocks; emit
+   ``i<j`` candidate pairs (the reference's tril work-skipping,
+   src/cuTWED_core.h:598-600, done *before* scoring);
+3. cross-band dedup WITHOUT a shuffle: a pair is scored only in the block
+   of the FIRST band on which the two rows collide;
+4. pairs from all blocks are pooled, sorted by padded length, chunked, and
+   scored with the vectorized anti-diagonal kernel (pool indirection: each
+   unique series is packed once per chunk no matter how many pairs use it).
+
+Output schema: id_a uint64, id_b uint64 (id_a < id_b), twed float64,
+twed_norm float64 (twed / (n_a + n_b)), exact bool, block_key uint64,
+bucket int32.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from cutwed_ray.config import PipelineConfig
+from cutwed_ray.kernel.batch import _sweep
+from cutwed_ray.stages.hashing import hash_string_array, splitmix64
+
+PAIR_SCHEMA = pa.schema([
+    ("id_a", pa.uint64()),
+    ("id_b", pa.uint64()),
+    ("twed", pa.float64()),
+    ("twed_norm", pa.float64()),
+    ("exact", pa.bool_()),
+    ("block_key", pa.uint64()),
+    ("bucket", pa.int32()),
+])
+
+
+def _empty_pairs() -> pa.Table:
+    return PAIR_SCHEMA.empty_table()
+
+
+class ScoreBucket:
+    """Callable-class stage (actor pool) scoring all blocks of one bucket."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.dtype = np.dtype(self.cfg.dtype)
+
+    # ---- pair generation ------------------------------------------------
+    def _block_pairs(self, order, key_np, bands, content_key, row_id):
+        """Yield (ia, ib, exact) global-row-index pair arrays for every block."""
+        cfg = self.cfg
+        nb = cfg.minhash_bands
+        sorted_keys = key_np[order]
+        bounds = np.flatnonzero(np.r_[True, sorted_keys[1:] != sorted_keys[:-1], True])
+        out_ia, out_ib, out_exact, out_key = [], [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            k = e - s
+            if k < 2:
+                continue
+            rows = order[s:e]
+            bkey = sorted_keys[s]
+            band_id = int(self.band_id_np[rows[0]])
+
+            # exact-duplicate collapse within the block (band 0 only — exact
+            # dups collide on every band, so band 0 is their first collision)
+            ck = content_key[rows]
+            o2 = np.argsort(ck, kind="stable")
+            ck_s = ck[o2]
+            grp = np.flatnonzero(np.r_[True, ck_s[1:] != ck_s[:-1]])
+            reps_local = o2[grp]
+            if band_id == 0 and reps_local.shape[0] < k:
+                ge = np.r_[grp, k]
+                for gi in range(reps_local.shape[0]):
+                    lo, hi = ge[gi], ge[gi + 1]
+                    if hi - lo > 1:
+                        members = rows[o2[lo:hi]]
+                        out_ia.append(np.full(hi - lo - 1, members[0]))
+                        out_ib.append(members[1:])
+                        out_exact.append(np.ones(hi - lo - 1, dtype=bool))
+                        out_key.append(np.full(hi - lo - 1, bkey, dtype=np.uint64))
+            reps = rows[np.sort(reps_local)]
+            m = reps.shape[0]
+            if m < 2:
+                continue
+
+            # salt-cap oversized blocks: sub-blocks of <= max_block_size
+            if m > cfg.max_block_size:
+                nsub = -(-m // cfg.max_block_size)
+                sub = (splitmix64(row_id[reps] ^ np.uint64(cfg.block_salt_seed))
+                       % np.uint64(nsub)).astype(np.int64)
+                so = np.argsort(sub, kind="stable")
+                sub_s = sub[so]
+                sb = np.flatnonzero(np.r_[True, sub_s[1:] != sub_s[:-1], True])
+                groups = [reps[so[a:b]] for a, b in zip(sb[:-1], sb[1:])]
+            else:
+                groups = [reps]
+
+            for g in groups:
+                mg = g.shape[0]
+                if mg < 2:
+                    continue
+                ia_l, ib_l = np.triu_indices(mg, k=1)
+                ia, ib = g[ia_l], g[ib_l]
+                # first-collision band dedup across the nb bands
+                eq = bands[ia] == bands[ib]                   # (P, nb)
+                first = eq.argmax(axis=1)                     # first shared band
+                keep = first == band_id
+                # skip pairs already linked as exact dups (same content key)
+                keep &= content_key[ia] != content_key[ib]
+                if keep.any():
+                    out_ia.append(ia[keep])
+                    out_ib.append(ib[keep])
+                    out_exact.append(np.zeros(int(keep.sum()), dtype=bool))
+                    out_key.append(np.full(int(keep.sum()), bkey, dtype=np.uint64))
+        return out_ia, out_ib, out_exact, out_key
+
+    # ---- scoring --------------------------------------------------------
+    def _score_chunk(self, ia, ib, tok_values, tok_offsets, n_tokens):
+        """Score one chunk of pairs with the pool-indirect sweep."""
+        cfg = self.cfg
+        uniq, inv = np.unique(np.r_[ia, ib], return_inverse=True)
+        P = ia.shape[0]
+        loc_a, loc_b = inv[:P], inv[P:]
+        lens = n_tokens[uniq]
+        M = int(lens.max()) if lens.size else 0
+        S = uniq.shape[0]
+        X = np.zeros((S, M, 1), dtype=self.dtype)
+        TX = np.zeros((S, M), dtype=self.dtype)
+        ar = np.arange(M, dtype=self.dtype)
+        for si, g in enumerate(uniq):
+            L = int(n_tokens[g])
+            X[si, :L, 0] = tok_values[tok_offsets[g]: tok_offsets[g] + L]
+            TX[si, :L] = ar[:L]
+        t = cfg.twed
+        return _sweep(X, TX, lens.astype(np.int64),
+                      X, TX, lens.astype(np.int64),
+                      loc_a.astype(np.int64), loc_b.astype(np.int64),
+                      t.nu, t.lamb, t.degree)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = len(group)
+        if n < 2:
+            return _empty_pairs()
+
+        key_np = group.column("block_key").to_numpy()
+        row_id = group.column("row_id").to_numpy()
+        n_tokens = group.column("n_tokens").to_numpy().astype(np.int64)
+        self.band_id_np = group.column("band_id").to_numpy()
+        bands = np.stack(
+            [group.column(f"band_{i}").to_numpy() for i in range(cfg.minhash_bands)],
+            axis=1,
+        )
+        content_key = hash_string_array(group.column("sha256"))
+        bucket_val = int(group.column("bucket")[0].as_py())
+
+        order = np.argsort(key_np, kind="stable")
+        ia_l, ib_l, ex_l, bk_l = self._block_pairs(order, key_np, bands, content_key, row_id)
+        if not ia_l:
+            return _empty_pairs()
+        ia = np.concatenate(ia_l)
+        ib = np.concatenate(ib_l)
+        exact = np.concatenate(ex_l)
+        bkeys = np.concatenate(bk_l)
+
+        # flat token buffer (zero-copy out of Arrow)
+        tok_col = group.column("tokens")
+        if isinstance(tok_col, pa.ChunkedArray):
+            tok_col = tok_col.combine_chunks()
+        tok_values = np.asarray(tok_col.values, dtype=np.float64)
+        tok_offsets = np.asarray(tok_col.offsets, dtype=np.int64)[:-1]
+
+        twed_out = np.zeros(ia.shape[0], dtype=np.float64)
+        need = ~exact
+        if need.any():
+            nia, nib = ia[need], ib[need]
+            # sort by pair max length so each chunk pads to a similar M
+            pair_max = np.maximum(n_tokens[nia], n_tokens[nib])
+            po = np.argsort(pair_max, kind="stable")
+            nia, nib = nia[po], nib[po]
+            res = np.empty(nia.shape[0], dtype=np.float64)
+            bs = cfg.score_batch_pairs
+            for s in range(0, nia.shape[0], bs):
+                e = min(s + bs, nia.shape[0])
+                res[s:e] = self._score_chunk(nia[s:e], nib[s:e],
+                                             tok_values, tok_offsets, n_tokens)
+            back = np.empty_like(res)
+            back[po] = res
+            twed_out[need] = back
+
+        la, lb_ = n_tokens[ia], n_tokens[ib]
+        norm = twed_out / np.maximum(la + lb_, 1)
+        id_a, id_b = row_id[ia], row_id[ib]
+        swap = id_a > id_b
+        id_a2 = np.where(swap, id_b, id_a)
+        id_b2 = np.where(swap, id_a, id_b)
+
+        return pa.table({
+            "id_a": pa.array(id_a2, pa.uint64()),
+            "id_b": pa.array(id_b2, pa.uint64()),
+            "twed": pa.array(twed_out, pa.float64()),
+            "twed_norm": pa.array(norm, pa.float64()),
+            "exact": pa.array(exact, pa.bool_()),
+            "block_key": pa.array(bkeys, pa.uint64()),
+            "bucket": pa.array(np.full(ia.shape[0], bucket_val, dtype=np.int32), pa.int32()),
+        })

@@ -1,0 +1,175 @@
+"""Tokenize stage: content string -> token-hash time series + blocking features.
+
+The reference consumes caller-prepared dense arrays
+(/root/reference/cuTWED/cuTWED.py:47-66); at web scale the series are
+*derived* inside the pipeline: each file's content becomes a token-hash
+sequence in [0,1) with positional timestamps 0..n-1 (BASELINE.json
+north_star stage 1).  This stage is a stateless ``map_batches`` function
+over zero-copy Arrow batches — all hot loops are flat-buffer NumPy
+(see stages/hashing.py); the only per-row Python is sha256 (hashlib is C).
+
+Output columns appended to the input batch:
+    sha256      string   — hex digest of content (per-row invariant)
+    row_id      uint64   — stable row identity: hash(repo, path, commit)
+    tokens      list<float64> — token-hash series values in [0,1)
+    n_tokens    int64
+    len_bucket  int32    — geometric length bucket (near-equal lengths per block)
+    band_0..band_{B-1} uint64 — MinHash-LSH band signatures over token shingles
+
+Timestamps are implicitly arange(n_tokens) and are NOT materialized — the
+scorer regenerates them, saving 8 bytes/token of shuffle traffic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from cutwed_ray.config import PipelineConfig
+from cutwed_ray.stages.hashing import (
+    hash_string_array,
+    hashes_to_unit_floats,
+    minhash_bands,
+    shingle_hashes,
+    splitmix64,
+)
+
+
+def tokenize_content(content, max_tokens: int) -> tuple[np.ndarray, np.ndarray]:
+    """content (Arrow string array) -> (flat uint64 token hashes, (N+1,) offsets).
+
+    Tokens are maximal runs of non-whitespace.  Rather than materializing a
+    list<string> array, we find token boundaries directly on the flat byte
+    buffer with NumPy: a position starts a token iff it is non-space and the
+    previous byte is a space or a document boundary.
+    """
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    n_docs = len(content)
+    bufs = content.buffers()
+    if pa.types.is_large_string(content.type):
+        doc_off = np.frombuffer(bufs[1], dtype=np.int64)
+    else:
+        doc_off = np.frombuffer(bufs[1], dtype=np.int32).astype(np.int64)
+    doc_off = doc_off[content.offset: content.offset + n_docs + 1]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, np.uint8)
+    )
+
+    base = doc_off[0]
+    view = data[base: doc_off[-1]]
+    doc_off = doc_off - base
+    nbytes = view.shape[0]
+
+    # whitespace mask (space, \t, \n, \r, \v, \f)
+    is_ws = (view == 32) | ((view >= 9) & (view <= 13))
+    non_ws = ~is_ws
+
+    # token starts: non-ws whose previous byte is ws, plus doc starts landing on non-ws
+    prev_ws = np.empty(nbytes, dtype=bool)
+    if nbytes:
+        prev_ws[0] = True
+        prev_ws[1:] = is_ws[:-1]
+    starts_mask = non_ws & prev_ws
+    starts_mask[doc_off[:-1][doc_off[:-1] < nbytes]] |= True  # doc boundary forces a start
+    starts_mask &= non_ws
+    tok_starts = np.nonzero(starts_mask)[0].astype(np.int64)
+
+    # token ends: next ws-or-doc-boundary after each start
+    next_ws = np.empty(nbytes, dtype=bool)
+    if nbytes:
+        next_ws[-1] = True
+        next_ws[:-1] = is_ws[1:]
+    ends_mask = non_ws & next_ws
+    ends_mask[np.maximum(doc_off[1:] - 1, 0)[doc_off[1:] > 0]] |= True
+    ends_mask &= non_ws
+    tok_ends = np.nonzero(ends_mask)[0].astype(np.int64) + 1
+
+    # doc boundaries can split a "run" — recompute ends per start by pairing:
+    # starts and ends interleave 1:1 because every maximal run within a doc
+    # has exactly one start and one end (doc boundaries force both).
+    if tok_starts.shape[0] != tok_ends.shape[0]:
+        raise AssertionError("token start/end pairing failed")
+
+    # per-doc token counts via searchsorted on starts
+    tok_doc = np.searchsorted(doc_off[1:], tok_starts, side="right")
+    counts = np.bincount(tok_doc, minlength=n_docs).astype(np.int64)
+
+    # truncate long docs to max_tokens
+    if counts.max(initial=0) > max_tokens:
+        first = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=first[1:])
+        pos_in_doc = np.arange(tok_starts.shape[0]) - first[tok_doc]
+        keep = pos_in_doc < max_tokens
+        tok_starts, tok_ends = tok_starts[keep], tok_ends[keep]
+        tok_doc = tok_doc[keep]
+        counts = np.minimum(counts, max_tokens)
+
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+
+    from cutwed_ray.stages.hashing import hash_flat_strings
+
+    th = hash_flat_strings(view, tok_starts, tok_ends)
+    return th, offsets
+
+
+class TokenizeStage:
+    """Callable for ``ds.map_batches(TokenizeStage(cfg), batch_format="pyarrow")``.
+
+    Stateless per batch; a plain class (not an actor requirement) so the
+    config is serialized once.
+    """
+
+    def __init__(self, cfg: PipelineConfig | None = None, id_cols=("repo", "path", "commit")):
+        self.cfg = cfg or PipelineConfig()
+        self.id_cols = id_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        content = batch.column("content")
+
+        # sha256 per row (hashlib releases the GIL; C-speed per row)
+        sha = [
+            hashlib.sha256(s.encode() if s is not None else b"").hexdigest()
+            for s in content.to_pylist()
+        ]
+
+        # stable row id from identity columns
+        rid = np.zeros(len(batch), dtype=np.uint64)
+        for c in self.id_cols:
+            if c in batch.column_names:
+                rid = splitmix64(rid ^ hash_string_array(batch.column(c)))
+
+        th, offsets = tokenize_content(content, cfg.max_tokens)
+        values = hashes_to_unit_floats(th)
+        n_tokens = offsets[1:] - offsets[:-1]
+
+        lb = np.floor(
+            np.log(np.maximum(n_tokens, 1).astype(np.float64))
+            / math.log(cfg.length_bucket_base)
+        ).astype(np.int32)
+
+        sh, sh_off = shingle_hashes(th, offsets, cfg.shingle_k)
+        bands = minhash_bands(sh, sh_off, cfg.minhash_perms, cfg.minhash_bands,
+                              seed=cfg.block_salt_seed)
+
+        # int32 list offsets: per-batch token totals are far below 2^31 and a
+        # consistent list<float64> type across batches keeps the schema stable
+        tokens_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(values, pa.float64())
+        )
+
+        out = batch.append_column("sha256", pa.array(sha, pa.string()))
+        out = out.append_column("row_id", pa.array(rid, pa.uint64()))
+        out = out.append_column("tokens", tokens_arr)
+        out = out.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
+        out = out.append_column("len_bucket", pa.array(lb, pa.int32()))
+        for bi in range(bands.shape[1]):
+            out = out.append_column(f"band_{bi}", pa.array(bands[:, bi], pa.uint64()))
+        return out
