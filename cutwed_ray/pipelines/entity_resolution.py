@@ -64,7 +64,12 @@ def tokenize(ds, cfg: PipelineConfig):
 
 def score_pairs(ds_files, cfg: PipelineConfig, n_buckets: int = 64,
                 scorer_concurrency: int | None = None):
-    """files Dataset -> scored candidate-pair Dataset (streaming, no checkpoint)."""
+    """files Dataset -> scored candidate-pair Dataset (streaming, no checkpoint).
+
+    The scorer is an autoscaling actor pool (1, N): a FIXED pool of N would
+    eagerly reserve N CPUs and can starve the upstream read/tokenize tasks
+    on small clusters (observed deadlock with concurrency == num_cpus).
+    """
     tok = tokenize(ds_files, cfg)
     exploded = tok.map_batches(ExplodeBands(cfg, n_buckets), batch_format="pyarrow")
     conc = scorer_concurrency or cfg.scorer_concurrency
@@ -72,7 +77,7 @@ def score_pairs(ds_files, cfg: PipelineConfig, n_buckets: int = 64,
         ScoreBucket,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
-        concurrency=conc,
+        concurrency=(1, conc),
         num_cpus=1,
     )
     return pairs
@@ -88,11 +93,12 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
     if cfg.checkpoint_dir:
         pairs = _score_with_checkpoint(ds_files, cfg, n_buckets, n_shards, metrics)
     else:
-        pairs = score_pairs(ds_files, cfg, n_buckets)
+        # the scored pair set is tiny relative to the corpus (blocking makes
+        # it sparse) — materialize it once so edges/counting don't re-run
+        # the whole blocking + scoring pipeline
+        pairs = score_pairs(ds_files, cfg, n_buckets).materialize()
 
-    edges = pairs.filter(
-        expr=f"twed_norm <= {cfg.threshold}"
-    ) if hasattr(pairs, "filter") else pairs
+    edges = pairs.filter(expr=f"twed_norm <= {cfg.threshold}")
     n_edges = edges.count()
     metrics["n_edges"] = n_edges
     if n_edges > cfg.max_driver_edges:
@@ -107,17 +113,20 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
     else:
         mapping = union_find_driver(edges)
 
-    tok = tokenize(ds_files, cfg)
-    clustered = assign_clusters(tok, mapping)
+    # label the original rows (light id stage — no re-tokenization)
+    from cutwed_ray.stages.tokenize import AddIdsStage
+
+    with_ids = ds_files.map_batches(AddIdsStage(), batch_format="pyarrow")
+    clustered = assign_clusters(with_ids, mapping)
 
     metrics["n_pairs_scored"] = pairs.count()
-    metrics["n_files"] = ds_files.count()
+    metrics["n_exact_pairs"] = pairs.filter(expr="exact == True").count()
     metrics["n_cluster_merges"] = len(mapping)
     metrics["wall_sec"] = round(time.time() - t0, 3)
 
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
-        clustered.drop_columns(["tokens"]).write_parquet(os.path.join(output_dir, "clusters"))
+        clustered.write_parquet(os.path.join(output_dir, "clusters"))
         with open(os.path.join(output_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=2, default=str)
     return ERResult(clusters=clustered, pairs=pairs, metrics=metrics)
@@ -159,10 +168,13 @@ def _score_with_checkpoint(ds_files, cfg, n_buckets, n_shards, metrics):
         t0 = time.time()
         tok = rd.read_parquet(tok_dir)
         exploded = tok.map_batches(ExplodeBands(cfg, n_buckets), batch_format="pyarrow")
-        shard_rows = exploded.filter(expr=f"bucket % {n_shards} == {s}")
+        def in_shard(t: pa.Table, _s=s, _n=n_shards) -> pa.Table:
+            return t.filter(pa.array(t.column("bucket").to_numpy() % _n == _s))
+
+        shard_rows = exploded.map_batches(in_shard, batch_format="pyarrow")
         pairs = shard_rows.groupby("bucket").map_groups(
             ScoreBucket, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", concurrency=cfg.scorer_concurrency, num_cpus=1,
+            batch_format="pyarrow", concurrency=(1, cfg.scorer_concurrency), num_cpus=1,
         )
         out_dir = os.path.join(ckpt, "pairs", f"shard={s}")
         tmp_dir = os.path.join(ckpt, "pairs", f"_tmp_shard={s}")
@@ -206,16 +218,16 @@ def pairwise_f1(pairs_ds, truth_table: pa.Table, files_table: pa.Table,
     from cutwed_ray.stages.hashing import hash_string_array, splitmix64
 
     # ground-truth entity per row_id
-    rid = np.zeros(truth_table.num_rows, dtype=np.uint64)
+    rid = np.zeros(truth_table.num_rows, dtype=np.uint64)  # viewed int64 below
     for c in ("repo", "path", "commit"):
         col = (truth_table if c in truth_table.column_names else files_table).column(c)
         rid = splitmix64(rid ^ hash_string_array(col))
     ent = truth_table.column("entity_id").to_numpy()
-    rid2ent = dict(zip(rid.tolist(), ent.tolist()))
+    rid2ent = dict(zip(rid.view(np.int64).tolist(), ent.tolist()))
 
     pt = pairs_ds.select_columns(["id_a", "id_b"]).to_pandas()
-    ia = pt["id_a"].to_numpy(dtype=np.uint64)
-    ib = pt["id_b"].to_numpy(dtype=np.uint64)
+    ia = pt["id_a"].to_numpy(dtype=np.int64)
+    ib = pt["id_b"].to_numpy(dtype=np.int64)
 
     if clusters_tbl is not None:
         cid = dict(zip(clusters_tbl.column("row_id").to_numpy().tolist(),

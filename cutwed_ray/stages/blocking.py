@@ -60,7 +60,7 @@ class ExplodeBands:
         take_idx = np.repeat(np.arange(n, dtype=np.int64), nb)
         cols = {
             "bucket": pa.array(buckets.reshape(-1), pa.int32()),
-            "block_key": pa.array(keys.reshape(-1), pa.uint64()),
+            "block_key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
             "band_id": pa.array(np.tile(np.arange(nb, dtype=np.int8), n), pa.int8()),
         }
         payload = batch.select(

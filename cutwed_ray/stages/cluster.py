@@ -87,8 +87,8 @@ def assign_clusters(ds, mapping: dict[int, int], id_col: str = "row_id"):
     def label(batch: pa.Table) -> pa.Table:
         m = ray.get(ref)
         ids = batch.column(id_col).to_numpy()
-        lab = np.array([m.get(int(i), int(i)) for i in ids.tolist()], dtype=np.uint64)
-        return batch.append_column("cluster_id", pa.array(lab, pa.uint64()))
+        lab = np.array([m.get(int(i), int(i)) for i in ids.tolist()], dtype=np.int64)
+        return batch.append_column("cluster_id", pa.array(lab, pa.int64()))
 
     return ds.map_batches(label, batch_format="pyarrow")
 
@@ -109,8 +109,8 @@ def label_propagation(edges_ds, num_partitions: int = 32, max_rounds: int = 12):
         a = batch.column("id_a").to_numpy()
         b = batch.column("id_b").to_numpy()
         return pa.table({
-            "src": pa.array(np.r_[a, b], pa.uint64()),
-            "dst": pa.array(np.r_[b, a], pa.uint64()),
+            "src": pa.array(np.r_[a, b], pa.int64()),
+            "dst": pa.array(np.r_[b, a], pa.int64()),
         })
 
     directed = edges_ds.select_columns(["id_a", "id_b"]).map_batches(

@@ -20,8 +20,8 @@ coarse, see stages/blocking.py):
    scored with the vectorized anti-diagonal kernel (pool indirection: each
    unique series is packed once per chunk no matter how many pairs use it).
 
-Output schema: id_a uint64, id_b uint64 (id_a < id_b), twed float64,
-twed_norm float64 (twed / (n_a + n_b)), exact bool, block_key uint64,
+Output schema: id_a int64, id_b int64 (id_a < id_b), twed float64,
+twed_norm float64 (twed / (n_a + n_b)), exact bool, block_key int64,
 bucket int32.
 """
 
@@ -35,12 +35,12 @@ from cutwed_ray.kernel.batch import _sweep
 from cutwed_ray.stages.hashing import hash_string_array, splitmix64
 
 PAIR_SCHEMA = pa.schema([
-    ("id_a", pa.uint64()),
-    ("id_b", pa.uint64()),
+    ("id_a", pa.int64()),
+    ("id_b", pa.int64()),
     ("twed", pa.float64()),
     ("twed_norm", pa.float64()),
     ("exact", pa.bool_()),
-    ("block_key", pa.uint64()),
+    ("block_key", pa.int64()),
     ("bucket", pa.int32()),
 ])
 
@@ -88,7 +88,7 @@ class ScoreBucket:
                         out_ia.append(np.full(hi - lo - 1, members[0]))
                         out_ib.append(members[1:])
                         out_exact.append(np.ones(hi - lo - 1, dtype=bool))
-                        out_key.append(np.full(hi - lo - 1, bkey, dtype=np.uint64))
+                        out_key.append(np.full(hi - lo - 1, bkey, dtype=np.int64))
             reps = rows[np.sort(reps_local)]
             m = reps.shape[0]
             if m < 2:
@@ -97,7 +97,7 @@ class ScoreBucket:
             # salt-cap oversized blocks: sub-blocks of <= max_block_size
             if m > cfg.max_block_size:
                 nsub = -(-m // cfg.max_block_size)
-                sub = (splitmix64(row_id[reps] ^ np.uint64(cfg.block_salt_seed))
+                sub = (splitmix64(row_id[reps].view(np.uint64) ^ np.uint64(cfg.block_salt_seed))
                        % np.uint64(nsub)).astype(np.int64)
                 so = np.argsort(sub, kind="stable")
                 sub_s = sub[so]
@@ -122,7 +122,7 @@ class ScoreBucket:
                     out_ia.append(ia[keep])
                     out_ib.append(ib[keep])
                     out_exact.append(np.zeros(int(keep.sum()), dtype=bool))
-                    out_key.append(np.full(int(keep.sum()), bkey, dtype=np.uint64))
+                    out_key.append(np.full(int(keep.sum()), bkey, dtype=np.int64))
         return out_ia, out_ib, out_exact, out_key
 
     # ---- scoring --------------------------------------------------------
@@ -207,11 +207,11 @@ class ScoreBucket:
         id_b2 = np.where(swap, id_a, id_b)
 
         return pa.table({
-            "id_a": pa.array(id_a2, pa.uint64()),
-            "id_b": pa.array(id_b2, pa.uint64()),
+            "id_a": pa.array(id_a2, pa.int64()),
+            "id_b": pa.array(id_b2, pa.int64()),
             "twed": pa.array(twed_out, pa.float64()),
             "twed_norm": pa.array(norm, pa.float64()),
             "exact": pa.array(exact, pa.bool_()),
-            "block_key": pa.array(bkeys, pa.uint64()),
+            "block_key": pa.array(bkeys, pa.int64()),
             "bucket": pa.array(np.full(ia.shape[0], bucket_val, dtype=np.int32), pa.int32()),
         })

@@ -10,7 +10,8 @@ over zero-copy Arrow batches — all hot loops are flat-buffer NumPy
 
 Output columns appended to the input batch:
     sha256      string   — hex digest of content (per-row invariant)
-    row_id      uint64   — stable row identity: hash(repo, path, commit)
+    row_id      int64    — stable row identity: hash(repo, path, commit)
+                          (int64 so Ray/pandas/DuckDB aggregates stay native)
     tokens      list<float64> — token-hash series values in [0,1)
     n_tokens    int64
     len_bucket  int32    — geometric length bucket (near-equal lengths per block)
@@ -119,6 +120,31 @@ def tokenize_content(content, max_tokens: int) -> tuple[np.ndarray, np.ndarray]:
     return th, offsets
 
 
+class AddIdsStage:
+    """Light map_batches stage: append only row_id + sha256 (no tokenization).
+
+    Used where the full TokenizeStage payload isn't needed (e.g. labelling
+    the final cluster output) — preserves the per-row content-sha256
+    invariant without re-shuffling token lists.
+    """
+
+    def __init__(self, id_cols=("repo", "path", "commit")):
+        self.id_cols = id_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = batch.column("content")
+        sha = [
+            hashlib.sha256(s.encode() if s is not None else b"").hexdigest()
+            for s in content.to_pylist()
+        ]
+        rid = np.zeros(len(batch), dtype=np.uint64)
+        for c in self.id_cols:
+            if c in batch.column_names:
+                rid = splitmix64(rid ^ hash_string_array(batch.column(c)))
+        out = batch.append_column("sha256", pa.array(sha, pa.string()))
+        return out.append_column("row_id", pa.array(rid.view(np.int64), pa.int64()))
+
+
 class TokenizeStage:
     """Callable for ``ds.map_batches(TokenizeStage(cfg), batch_format="pyarrow")``.
 
@@ -166,7 +192,7 @@ class TokenizeStage:
         )
 
         out = batch.append_column("sha256", pa.array(sha, pa.string()))
-        out = out.append_column("row_id", pa.array(rid, pa.uint64()))
+        out = out.append_column("row_id", pa.array(rid.view(np.int64), pa.int64()))
         out = out.append_column("tokens", tokens_arr)
         out = out.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
         out = out.append_column("len_bucket", pa.array(lb, pa.int32()))

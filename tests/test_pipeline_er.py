@@ -1,0 +1,139 @@
+"""End-to-end entity-resolution pipeline tests (SURVEY.md §5 test plan 4-5).
+
+Targets: pairwise F1 >= 0.99 on labeled same-block pairs, per-row sha256
+invariant, checkpoint/resume determinism, distributed-vs-driver clustering
+parity.
+"""
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cutwed_ray.corpus import generate_corpus
+from cutwed_ray.pipelines.entity_resolution import (
+    default_config,
+    pairwise_f1,
+    run_er,
+)
+
+N_FILES = 1200
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(N_FILES, seed=42)
+
+
+@pytest.fixture(scope="module")
+def er_result(ray_session, corpus):
+    import ray.data as rd
+
+    files, truth = corpus
+    cfg = default_config(threshold=0.25)
+    res = run_er(rd.from_arrow(files), cfg, n_buckets=16)
+    res.pairs = res.pairs.materialize()
+    res.clusters = res.clusters.materialize()
+    return res, files, truth, cfg
+
+
+class TestERPipeline:
+    def test_f1_target(self, er_result):
+        res, files, truth, cfg = er_result
+        ct = res.clusters.select_columns(["row_id", "cluster_id"]).to_pandas()
+        ctbl = pa.table({
+            "row_id": pa.array(ct.row_id.to_numpy(dtype="int64"), pa.int64()),
+            "cluster_id": pa.array(ct.cluster_id.to_numpy(dtype="int64"), pa.int64()),
+        })
+        f1 = pairwise_f1(res.pairs, truth, files, cfg, clusters_tbl=ctbl)
+        assert f1["n_labeled_pairs"] > 500
+        assert f1["f1"] >= 0.99, f1
+
+    def test_sha256_invariant(self, er_result):
+        """Output rows carry sha256(content) equal to a fresh recomputation."""
+        res, files, truth, cfg = er_result
+        out = res.clusters.select_columns(["content", "sha256"]).take(50)
+        for row in out:
+            assert hashlib.sha256(row["content"].encode()).hexdigest() == row["sha256"]
+
+    def test_all_rows_labeled(self, er_result):
+        res, files, truth, cfg = er_result
+        assert res.clusters.count() == files.num_rows
+        assert "cluster_id" in res.clusters.schema().names
+
+    def test_exact_duplicates_same_cluster(self, er_result):
+        """Rows with identical content must land in the same cluster."""
+        res, files, truth, cfg = er_result
+        df = res.clusters.select_columns(["sha256", "cluster_id"]).to_pandas()
+        nuniq = df.groupby("sha256")["cluster_id"].nunique()
+        assert (nuniq == 1).all()
+
+    def test_pairs_ordered_and_dedup(self, er_result):
+        res, files, truth, cfg = er_result
+        pt = res.pairs.select_columns(["id_a", "id_b"]).to_pandas()
+        assert (pt.id_a < pt.id_b).all()
+        assert not pt.duplicated().any(), "cross-band pair dedup failed"
+
+
+class TestClusteringParity:
+    def test_label_prop_matches_union_find(self, er_result):
+        from cutwed_ray.stages.cluster import label_propagation, union_find_driver
+
+        res, files, truth, cfg = er_result
+        edges = res.pairs.filter(expr=f"twed_norm <= {cfg.threshold}")
+        uf = union_find_driver(edges)
+        lp = {int(r["node"]): int(r["label"])
+              for r in label_propagation(edges, num_partitions=4).iter_rows()}
+        assert lp == uf
+
+
+class TestCheckpointResume:
+    def test_resume_skips_completed_shards(self, ray_session, corpus, tmp_path):
+        """Kill-and-rerun determinism (SURVEY.md §7.4): second run with one
+        shard invalidated reproduces the identical pair set."""
+        import ray.data as rd
+
+        files, truth = corpus
+        ckpt = str(tmp_path / "ckpt")
+        cfg = default_config(threshold=0.25, checkpoint_dir=ckpt)
+        res1 = run_er(rd.from_arrow(files), cfg, n_buckets=16, n_shards=4)
+        p1 = res1.pairs.select_columns(["id_a", "id_b", "twed"]).to_pandas()
+        p1 = p1.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+        # simulate a lost shard: delete its output + manifest entry
+        import json
+
+        man_path = os.path.join(ckpt, "manifest.json")
+        with open(man_path) as f:
+            man = json.load(f)
+        del man["shards"]["2"]
+        with open(man_path, "w") as f:
+            json.dump(man, f)
+        shutil.rmtree(os.path.join(ckpt, "pairs", "shard=2"))
+
+        res2 = run_er(rd.from_arrow(files), cfg, n_buckets=16, n_shards=4)
+        p2 = res2.pairs.select_columns(["id_a", "id_b", "twed"]).to_pandas()
+        p2 = p2.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert len(p1) == len(p2)
+        assert (p1.id_a.values == p2.id_a.values).all()
+        assert np.allclose(p1.twed.values, p2.twed.values)
+
+    def test_config_change_invalidates(self, ray_session, corpus, tmp_path):
+        import json
+
+        import ray.data as rd
+
+        files, truth = corpus
+        ckpt = str(tmp_path / "ckpt2")
+        cfg = default_config(threshold=0.25, checkpoint_dir=ckpt)
+        run_er(rd.from_arrow(files), cfg, n_buckets=16, n_shards=2)
+        with open(os.path.join(ckpt, "manifest.json")) as f:
+            h1 = json.load(f)["config_hash"]
+        cfg2 = default_config(threshold=0.1, checkpoint_dir=ckpt)
+        run_er(rd.from_arrow(files), cfg2, n_buckets=16, n_shards=2)
+        with open(os.path.join(ckpt, "manifest.json")) as f:
+            h2 = json.load(f)["config_hash"]
+        assert h1 != h2
