@@ -1,0 +1,205 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE via
+``ray.put`` and read in each scorer actor's ``__init__`` (never re-shipped
+per batch); every data batch computes a (batch x queries) matmul and emits
+its per-query local top-k; a small groupby merges local top-ks into global
+top-ks.  Scale path: random-hyperplane LSH bucketing (multi-probe) so each
+query only scans candidate buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _emb_matrix(t: pa.Table, emb_col: str) -> np.ndarray:
+    col = t.column(emb_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(t), -1)
+
+
+def _unit(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1), 1e-30)[:, None]
+
+
+class BruteForceScorer:
+    """Actor-pool stage: per data batch, cosine of every row against the
+    broadcast query matrix; emits each query's local top-k of the batch."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, emb_col: str):
+        import ray
+
+        q = ray.get(queries_ref)                 # once per actor
+        self.qids = q["ids"]
+        self.Q = _unit(q["emb"])                 # (nq, dim)
+        self.k = k
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        X = _unit(_emb_matrix(t, self.emb_col))  # (n, dim)
+        ids = t.column(self.id_col).to_numpy()
+        sim = X @ self.Q.T                       # (n, nq)
+        n, nq = sim.shape
+        k = min(self.k + 1, n)                   # +1 in case query is in data
+        top = np.argpartition(-sim, kth=k - 1, axis=0)[:k]   # (k, nq)
+        qcol = np.repeat(np.arange(nq), k)
+        rows = top.T.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(self.qids[qcol], pa.int64()),
+            "neighbor_id": pa.array(ids[rows], pa.int64()),
+            "cosine": pa.array(sim[rows, qcol], pa.float64()),
+        })
+
+
+def knn_bruteforce(ds, query_ids, k: int = 5, id_col: str = "vec_id",
+                   emb_col: str = "embedding", concurrency: int = 4):
+    """Global cosine top-k neighbors for each query id (excluding itself).
+
+    Returns (query_id, neighbor_id, cosine, rank) with rank 1..k per query,
+    deterministic tie-break by neighbor_id.
+    """
+    import ray
+
+    qset = set(int(q) for q in query_ids)
+
+    def take_queries(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        mask = np.isin(ids, np.fromiter(qset, dtype=ids.dtype, count=len(qset)))
+        return t.filter(pa.array(mask))
+
+    q_tbl = pa.concat_tables(
+        [ray.get(r) for r in
+         ds.map_batches(take_queries, batch_format="pyarrow").to_arrow_refs()]
+    )
+    queries_ref = ray.put({
+        "ids": q_tbl.column(id_col).to_numpy().astype(np.int64),
+        "emb": _emb_matrix(q_tbl, emb_col),
+    })
+
+    local = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_args=(queries_ref, k, id_col, emb_col),
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.neighbor_id != g.query_id]
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class LshBucketStage:
+    """Random-hyperplane bucket assignment (seeded planes built once per actor)."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 11,
+                 emb_col: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(dim, n_planes)
+        self.emb_col = emb_col
+
+    def bucket_of(self, X: np.ndarray) -> np.ndarray:
+        signs = (X @ self.planes) > 0
+        key = np.zeros(X.shape[0], dtype=np.uint64)
+        for i in range(self.planes.shape[1]):
+            key = (key << np.uint64(1)) | signs[:, i].astype(np.uint64)
+        return key.view(np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        X = _emb_matrix(t, self.emb_col)
+        return t.append_column("ann_bucket", pa.array(self.bucket_of(X), pa.int64()))
+
+
+def knn_lsh(ds, query_ids, k: int = 5, id_col: str = "vec_id",
+            emb_col: str = "embedding", n_planes: int = 8, seed: int = 11,
+            multiprobe: int = 1):
+    """LSH-bucketed ANN: queries probe their own bucket plus all buckets at
+    Hamming distance <= multiprobe; only those candidates are scored.
+
+    Recall < 1 by construction (approximate); the partitioning assumption is
+    that each bucket fits one task.  Returns the same schema as
+    ``knn_bruteforce``.
+    """
+    import ray
+
+    dim = len(ds.take(1)[0][emb_col])
+    stage = LshBucketStage(dim, n_planes, seed, emb_col)
+    bucketed = ds.map_batches(stage, batch_format="pyarrow")
+
+    qset = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
+
+    def is_query(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        return t.filter(pa.array(np.isin(ids, qset)))
+
+    q_tbl = pa.concat_tables(
+        [ray.get(r) for r in bucketed.map_batches(is_query, batch_format="pyarrow").to_arrow_refs()]
+    )
+    Q = _emb_matrix(q_tbl, emb_col)
+    qids = q_tbl.column(id_col).to_numpy().astype(np.int64)
+    qbuckets = q_tbl.column("ann_bucket").to_numpy().view(np.uint64)
+
+    # expand probe set: query bucket + neighbors at Hamming <= multiprobe
+    probe_rows, probe_keys = [qids], [qbuckets]
+    if multiprobe >= 1:
+        for b in range(n_planes):
+            probe_rows.append(qids)
+            probe_keys.append(qbuckets ^ (np.uint64(1) << np.uint64(b)))
+    probe = {}
+    for ids_, keys_ in zip(probe_rows, probe_keys):
+        for qid, key in zip(ids_.tolist(), keys_.view(np.int64).tolist()):
+            probe.setdefault(key, []).append(qid)
+    qemb = {int(q): Q[i] for i, q in enumerate(qids)}
+    probe_ref = ray.put((probe, qemb))
+
+    class BucketScorer:
+        def __init__(self):
+            p, qe = ray.get(probe_ref)
+            self.probe, self.qemb = p, qe
+
+        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+            key = int(g["ann_bucket"].iloc[0])
+            qids_here = self.probe.get(key, [])
+            empty = pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                                  "neighbor_id": pd.Series(dtype=np.int64),
+                                  "cosine": pd.Series(dtype=np.float64)})
+            if not qids_here:
+                return empty
+            X = _unit(np.stack(
+                [np.asarray(e, dtype=np.float64) for e in g[emb_col].to_numpy()]))
+            ids = g[id_col].to_numpy()
+            Qm = _unit(np.stack([self.qemb[q] for q in qids_here]))
+            sim = X @ Qm.T
+            out = []
+            for qi, q in enumerate(qids_here):
+                kk = min(k + 1, len(ids))
+                top = np.argpartition(-sim[:, qi], kth=kk - 1)[:kk]
+                out.append(pd.DataFrame({
+                    "query_id": np.full(kk, q, dtype=np.int64),
+                    "neighbor_id": ids[top].astype(np.int64),
+                    "cosine": sim[top, qi],
+                }))
+            return pd.concat(out, ignore_index=True)
+
+    local = bucketed.groupby("ann_bucket").map_groups(
+        BucketScorer, batch_format="pandas", concurrency=(1, 4), num_cpus=1)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.neighbor_id != g.query_id]
+        g = g.drop_duplicates(subset=["neighbor_id"])
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -1,0 +1,307 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for scale (SURVEY.md §2.6): hashes are computed vectorized inside
+``map_batches``; the only shuffles are groupbys on *small* derived keys
+(hash64 / band / simhash chunk), never on raw text; candidate pairs are
+verified vectorized before any transitive step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from cutwed_ray.stages.hashing import (
+    hash_string_array,
+    minhash_bands,
+    shingle_hashes,
+    splitmix64,
+)
+from cutwed_ray.stages.tokenize import tokenize_content
+
+
+# --------------------------------------------------------------- exact dedup
+def add_text_hash(batch: pa.Table, text_col: str = "text",
+                  out_col: str = "text_hash") -> pa.Table:
+    h = hash_string_array(batch.column(text_col))
+    return batch.append_column(out_col, pa.array(h.view(np.int64), pa.int64()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """One representative row (min id) per distinct text + duplicate count.
+
+    hash-partition + per-group-first: the shuffle key is the 64-bit text
+    hash, not the text itself.  Returns columns: text_col, id_col (min),
+    n_dups.
+    """
+    import pandas as pd
+
+    hashed = ds.map_batches(
+        lambda t: add_text_hash(t, text_col), batch_format="pyarrow"
+    )
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        out = g.head(1)[[text_col, id_col]].copy()
+        out["n_dups"] = len(g)
+        return out
+
+    return hashed.groupby("text_hash").map_groups(
+        first_per_group, batch_format="pandas"
+    ).select_columns([text_col, id_col, "n_dups"])
+
+
+def exact_cluster(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Label every row with cluster_id = min id over rows with identical text."""
+    import pandas as pd
+
+    hashed = ds.map_batches(
+        lambda t: add_text_hash(t, text_col), batch_format="pyarrow"
+    )
+
+    def label(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["cluster_id"] = g[id_col].min()
+        return g[[id_col, "cluster_id"]]
+
+    return hashed.groupby("text_hash").map_groups(label, batch_format="pandas")
+
+
+# ------------------------------------------------------------- MinHash + LSH
+class MinHashStage:
+    """Append MinHash band signatures over token shingles of ``text_col``."""
+
+    def __init__(self, text_col: str = "text", k: int = 3,
+                 n_perms: int = 16, n_bands: int = 8, seed: int = 0x5EED):
+        self.text_col, self.k = text_col, k
+        self.n_perms, self.n_bands, self.seed = n_perms, n_bands, seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, offsets = tokenize_content(batch.column(self.text_col), max_tokens=1 << 20)
+        sh, sh_off = shingle_hashes(th, offsets, self.k)
+        bands = minhash_bands(sh, sh_off, self.n_perms, self.n_bands, self.seed)
+        out = batch
+        for bi in range(self.n_bands):
+            out = out.append_column(
+                f"band_{bi}", pa.array(bands[:, bi].view(np.int64), pa.int64()))
+        return out
+
+
+def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3, n_perms: int = 16, n_bands: int = 8,
+                      verify_jaccard: float | None = None):
+    """Candidate near-duplicate pairs via MinHash-LSH banding.
+
+    shingle -> minhash -> band -> bucket groupby -> i<j pairs, deduplicated
+    across bands by the first-collision rule (no second shuffle).  With
+    ``verify_jaccard`` set, candidates are verified with exact shingle-set
+    Jaccard (vectorized sorted-array intersection) and filtered.
+    Returns (id_a, id_b[, jaccard]).
+    """
+    import pandas as pd
+
+    sigs = ds.map_batches(MinHashStage(text_col, k, n_perms, n_bands),
+                          batch_format="pyarrow")
+    band_cols = [f"band_{i}" for i in range(n_bands)]
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = len(t)
+        idx = np.repeat(np.arange(n, dtype=np.int64), n_bands)
+        bands_m = np.stack([t.column(c).to_numpy() for c in band_cols], axis=1)
+        keys = splitmix64(
+            bands_m.view(np.uint64)
+            ^ (np.arange(n_bands, dtype=np.uint64)[None, :] + np.uint64(0xB00))
+        ).reshape(-1)
+        cols = {
+            "bkey": pa.array(keys.view(np.int64), pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(n_bands, dtype=np.int8), n), pa.int8()),
+            id_col: t.column(id_col).take(pa.array(idx)),
+        }
+        if verify_jaccard is not None:
+            cols[text_col] = t.column(text_col).take(pa.array(idx))
+        for c in band_cols:
+            cols[c] = t.column(c).take(pa.array(idx))
+        return pa.table(cols)
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        m = len(g)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        band_id = int(g["band_id"].iloc[0])
+        ids = g[id_col].to_numpy()
+        bands_m = np.stack([g[c].to_numpy() for c in band_cols], axis=1)
+        ia, ib = np.triu_indices(m, k=1)
+        eq = bands_m[ia] == bands_m[ib]
+        keep = eq.argmax(axis=1) == band_id
+        ia, ib = ia[keep], ib[keep]
+        a, b = ids[ia], ids[ib]
+        swap = a > b
+        out = pd.DataFrame({"id_a": np.where(swap, b, a), "id_b": np.where(swap, a, b)})
+        if verify_jaccard is not None and len(out):
+            texts = g[text_col].tolist()
+            jac = np.empty(len(out))
+            sets = [None] * m
+            th, off = tokenize_content(pa.array(texts, pa.string()), 1 << 20)
+            sh, sh_off = shingle_hashes(th, off, k)
+            for i in set(ia.tolist()) | set(ib.tolist()):
+                sets[i] = np.unique(sh[sh_off[i]:sh_off[i + 1]])
+            for x, (i, j) in enumerate(zip(ia, ib)):
+                inter = np.intersect1d(sets[i], sets[j], assume_unique=True).shape[0]
+                union = sets[i].shape[0] + sets[j].shape[0] - inter
+                jac[x] = inter / max(union, 1)
+            out["jaccard"] = jac
+            out = out[out.jaccard >= verify_jaccard]
+        return out
+
+    return exploded.groupby("bkey").map_groups(pairs_of_group, batch_format="pandas")
+
+
+# ------------------------------------------------------------------- SimHash
+def add_simhash(batch: pa.Table, text_col: str = "text",
+                out_col: str = "simhash") -> pa.Table:
+    """64-bit SimHash over token hashes (vectorized bit-count accumulation)."""
+    th, offsets = tokenize_content(batch.column(text_col), max_tokens=1 << 20)
+    n_docs = len(batch)
+    # bits matrix (T, 64) in {0,1} -> per-doc sums via reduceat
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if th.shape[0]:
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+        lens = offsets[1:] - offsets[:-1]
+        nonempty = lens > 0
+        starts = offsets[:-1][nonempty]
+        sums = np.add.reduceat(bits, starts, axis=0) if starts.size else np.zeros((0, 64), np.int32)
+        majority = (2 * sums) >= lens[nonempty][:, None]
+        vals = (majority.astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        out[nonempty] = vals
+    return batch.append_column(out_col, pa.array(out.view(np.int64), pa.int64()))
+
+
+def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                           max_hamming: int = 3):
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Banding: 4 x 16-bit chunks — any pair within Hamming 3 shares at least
+    one exact chunk (pigeonhole), so a groupby per chunk finds all of them.
+    Returns (id_a, id_b, hamming).
+    """
+    import pandas as pd
+
+    hashed = ds.map_batches(lambda t: add_simhash(t, text_col), batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = len(t)
+        sh = t.column("simhash").to_numpy().view(np.uint64)
+        idx = np.repeat(np.arange(n, dtype=np.int64), 4)
+        chunk_id = np.tile(np.arange(4, dtype=np.uint64), n)
+        chunks = (sh[:, None] >> (np.arange(4, dtype=np.uint64) * np.uint64(16))[None, :]) & np.uint64(0xFFFF)
+        key = splitmix64(chunks.reshape(-1) ^ ((chunk_id + np.uint64(1)) << np.uint64(32)))
+        return pa.table({
+            "ckey": pa.array(key.view(np.int64), pa.int64()),
+            "chunk_id": pa.array(np.tile(np.arange(4, dtype=np.int8), n), pa.int8()),
+            id_col: t.column(id_col).take(pa.array(idx)),
+            "simhash": t.column("simhash").take(pa.array(idx)),
+        })
+
+    exploded = hashed.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        m = len(g)
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64),
+                              "hamming": pd.Series(dtype=np.int64)})
+        if m < 2:
+            return empty
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().view(np.uint64)
+        chunk_id = int(g["chunk_id"].iloc[0])
+        ia, ib = np.triu_indices(m, k=1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.zeros(ia.shape[0], dtype=np.int64)
+        v = x.copy()
+        for _ in range(64):
+            ham += (v & np.uint64(1)).astype(np.int64)
+            v >>= np.uint64(1)
+        keep = ham <= max_hamming
+        # first-collision dedup: count equal chunks below chunk_id
+        if keep.any():
+            chunks = (sh[:, None] >> (np.arange(4, dtype=np.uint64) * np.uint64(16))[None, :]) & np.uint64(0xFFFF)
+            eq = chunks[ia[keep]] == chunks[ib[keep]]
+            first = eq.argmax(axis=1)
+            keep2 = first == chunk_id
+            ia, ib, ham = ia[keep][keep2], ib[keep][keep2], ham[keep][keep2]
+        else:
+            return empty
+        a, b = ids[ia], ids[ib]
+        swap = a > b
+        return pd.DataFrame({"id_a": np.where(swap, b, a),
+                             "id_b": np.where(swap, a, b), "hamming": ham})
+
+    return exploded.groupby("ckey").map_groups(pairs_of_group, batch_format="pandas")
+
+
+# --------------------------------------------------- embedding-cosine dedup
+def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
+                             emb_col: str = "embedding",
+                             threshold: float = 0.95,
+                             n_planes: int = 12, seed: int = 7,
+                             exhaustive: bool = False):
+    """Near-duplicate pairs by embedding cosine similarity >= threshold.
+
+    Scale path (default): random-hyperplane LSH — rows sharing a sign
+    bucket are candidates; cosine verified exactly per bucket (numpy
+    matmul).  ``exhaustive=True`` skips bucketing (single bucket; only for
+    small/test data or the DuckDB oracle comparison).
+    Returns (id_a, id_b, cosine float64).
+    """
+    import pandas as pd
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        emb = np.asarray(t.column(emb_col).combine_chunks().values.to_numpy(
+            zero_copy_only=False)).reshape(len(t), -1).astype(np.float64)
+        if exhaustive:
+            key = np.zeros(len(t), dtype=np.int64)
+        else:
+            rng = np.random.RandomState(seed)
+            planes = rng.randn(emb.shape[1], n_planes)
+            signs = (emb @ planes) > 0
+            key = np.zeros(len(t), dtype=np.uint64)
+            for i in range(n_planes):
+                key = (key << np.uint64(1)) | signs[:, i].astype(np.uint64)
+            key = key.view(np.int64)
+        norm = np.linalg.norm(emb, axis=1)
+        unit = emb / np.maximum(norm, 1e-30)[:, None]
+        return pa.table({
+            "bucket_key": pa.array(key, pa.int64()),
+            id_col: t.column(id_col),
+            "unit": pa.array(list(unit), pa.list_(pa.float64())),
+        })
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        m = len(g)
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64),
+                              "cosine": pd.Series(dtype=np.float64)})
+        if m < 2:
+            return empty
+        U = np.stack(g["unit"].to_numpy())
+        ids = g[id_col].to_numpy()
+        sim = U @ U.T
+        ia, ib = np.triu_indices(m, k=1)
+        keep = sim[ia, ib] >= threshold
+        if not keep.any():
+            return empty
+        ia, ib = ia[keep], ib[keep]
+        a, b = ids[ia], ids[ib]
+        swap = a > b
+        return pd.DataFrame({"id_a": np.where(swap, b, a),
+                             "id_b": np.where(swap, a, b),
+                             "cosine": sim[ia, ib]})
+
+    return bucketed.groupby("bucket_key").map_groups(pairs_of_group,
+                                                     batch_format="pandas")

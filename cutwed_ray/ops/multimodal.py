@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as Arrow ``binary`` columns with
+sidecar metadata columns; decode / resize / feature-extract / frame-sample
+run as actor-pool ``map_batches`` stages with SMALL batch sizes (binary
+rows are wide — a batch x concurrency must fit worker heap).
+
+The decode libraries (PIL / ffmpeg / soundfile) are NOT in this container,
+so the codec boundary is stubbed: ``DecodeImageStage(real_decode=True)``
+raises NotImplementedError, while the default deterministic fake decoder
+derives pseudo-pixels from the payload hash — making the Ray-side plumbing
+(schema, batch sizing, actor signature, output layout) real and testable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from cutwed_ray.stages.hashing import splitmix64
+
+IMAGE_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("payload", pa.binary()),
+    ("media_type", pa.string()),      # "image/png", "audio/wav", ...
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+])
+
+#: recommended map_batches kwargs for wide binary rows
+BINARY_BATCH_KWARGS = dict(batch_size=64, batch_format="pyarrow")
+
+
+def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
+    """Deterministic fake media table (for tests; no external data)."""
+    rng = np.random.RandomState(seed)
+    payloads = [rng.bytes(payload_bytes) for _ in range(n)]
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "media_type": pa.array(["image/png"] * n, pa.string()),
+        "width": pa.array(rng.randint(16, 64, n).astype(np.int32), pa.int32()),
+        "height": pa.array(rng.randint(16, 64, n).astype(np.int32), pa.int32()),
+    })
+
+
+class DecodeImageStage:
+    """Actor-pool stage: binary payload -> fixed-size feature vector.
+
+    Real pipelines load the codec/model in ``__init__`` (once per actor);
+    here the stub "decoder" hashes the payload into a deterministic
+    ``features: list<float64>`` of length ``feat_dim`` and records
+    ``decode_ok: bool``.  ``real_decode=True`` marks where PIL/libjpeg
+    would be called and raises NotImplementedError in this container.
+    """
+
+    def __init__(self, feat_dim: int = 16, real_decode: bool = False):
+        if real_decode:
+            raise NotImplementedError(
+                "real image decode requires PIL/libjpeg, not present in this "
+                "container — use the deterministic stub (real_decode=False)")
+        self.feat_dim = feat_dim
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payload = t.column("payload")
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        n = len(t)
+        feats = np.empty((n, self.feat_dim), dtype=np.float64)
+        buf = np.frombuffer(payload.buffers()[2], dtype=np.uint8) if payload.buffers()[2] else np.zeros(0, np.uint8)
+        offs = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+            payload.offset: payload.offset + n + 1].astype(np.int64)
+        S = np.zeros(buf.shape[0] + 1, dtype=np.uint64)
+        np.cumsum(buf.astype(np.uint64), out=S[1:])
+        base = S[offs[1:]] - S[offs[:-1]]
+        for k in range(self.feat_dim):
+            feats[:, k] = (splitmix64(base ^ np.uint64(k * 0x9E37)) >> np.uint64(11)) * 2.0 ** -53
+        out = t.append_column(
+            "features",
+            pa.FixedSizeListArray.from_arrays(pa.array(feats.reshape(-1), pa.float64()),
+                                              self.feat_dim),
+        )
+        return out.append_column("decode_ok", pa.array(np.ones(n, dtype=bool), pa.bool_()))
+
+
+class ResizeStage:
+    """Stub resize: rewrites width/height metadata to the target box
+    (aspect-preserving); payload untouched (a real stage would re-encode)."""
+
+    def __init__(self, max_side: int = 32):
+        self.max_side = max_side
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        w = t.column("width").to_numpy().astype(np.float64)
+        h = t.column("height").to_numpy().astype(np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        t = t.set_column(t.column_names.index("width"), "width",
+                         pa.array(np.round(w * scale).astype(np.int32), pa.int32()))
+        return t.set_column(t.column_names.index("height"), "height",
+                            pa.array(np.round(h * scale).astype(np.int32), pa.int32()))
+
+
+def frame_sample(t: pa.Table, every_n: int = 10) -> pa.Table:
+    """Stub frame sampler for video rows: emits (media_id, frame_idx) rows
+    as if sampling every ``every_n``-th frame of a payload-derived frame
+    count (deterministic)."""
+    mid = t.column("media_id").to_numpy()
+    # fake frame count from payload size
+    payload = t.column("payload")
+    if isinstance(payload, pa.ChunkedArray):
+        payload = payload.combine_chunks()
+    offs = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+        payload.offset: payload.offset + len(t) + 1].astype(np.int64)
+    nframes = np.maximum((offs[1:] - offs[:-1]) // 256, 1)
+    counts = (nframes + every_n - 1) // every_n
+    rep = np.repeat(np.arange(len(t)), counts)
+    frame_idx = (np.arange(rep.shape[0]) -
+                 np.repeat(np.r_[0, np.cumsum(counts)[:-1]], counts)) * every_n
+    return pa.table({
+        "media_id": pa.array(mid[rep], pa.int64()),
+        "frame_idx": pa.array(frame_idx, pa.int64()),
+    })

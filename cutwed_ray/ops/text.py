@@ -1,0 +1,163 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All stateless, vectorized ``map_batches(batch_format="pyarrow")`` stages:
+token counting (whitespace, on flat Arrow buffers), quality scoring
+(length / punctuation / uppercase / stopword ratios), heuristic
+language-ID (stopword + character n-gram scoring), and winnowing document
+fingerprints (rolling-hash k-gram minima).  Deterministic — no models.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cutwed_ray.stages.hashing import splitmix64
+from cutwed_ray.stages.tokenize import tokenize_content
+
+# small deterministic stopword lists per language (used by both quality
+# scoring and the language-ID heuristic)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "was"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "de", "que", "y", "los", "una", "por", "con", "para"],
+}
+
+
+def _doc_bounds(content) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flat byte view + per-doc offsets of an Arrow string column."""
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    bufs = content.buffers()
+    off_dtype = np.int64 if pa.types.is_large_string(content.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=off_dtype)[
+        content.offset: content.offset + len(content) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    view = data[off[0]: off[-1]]
+    return view, off[:-1] - off[0], off[1:] - off[0]
+
+
+def _count_in_class(view, starts, ends, mask: np.ndarray) -> np.ndarray:
+    """Per-doc count of bytes whose class-mask is True (vectorized prefix sums)."""
+    S = np.zeros(view.shape[0] + 1, dtype=np.int64)
+    np.cumsum(mask[view], out=S[1:])
+    return S[ends] - S[starts]
+
+
+_PUNCT = np.zeros(256, dtype=bool)
+for ch in b".,;:!?'\"()[]{}<>-_=+*/\\|@#$%^&~`":
+    _PUNCT[ch] = True
+_UPPER = np.zeros(256, dtype=bool)
+_UPPER[ord("A"): ord("Z") + 1] = True
+_DIGIT = np.zeros(256, dtype=bool)
+_DIGIT[ord("0"): ord("9") + 1] = True
+
+
+def token_count(batch: pa.Table, text_col: str = "text",
+                out_col: str = "n_tokens") -> pa.Table:
+    """Append whitespace-token counts (flat-buffer vectorized)."""
+    _, offsets = tokenize_content(batch.column(text_col), max_tokens=1 << 31 - 1)
+    return batch.append_column(out_col, pa.array(offsets[1:] - offsets[:-1], pa.int64()))
+
+
+def text_quality(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append deterministic quality features:
+
+    n_chars_c int64, n_tokens int64, punct_ratio/upper_ratio/digit_ratio
+    float64 (of characters; 0 for empty docs), mean_token_len float64.
+    """
+    view, starts, ends = _doc_bounds(batch.column(text_col))
+    n_chars = ends - starts
+    th, offsets = tokenize_content(batch.column(text_col), max_tokens=1 << 31 - 1)
+    n_tok = offsets[1:] - offsets[:-1]
+    denom = np.maximum(n_chars, 1).astype(np.float64)
+    punct = _count_in_class(view, starts, ends, _PUNCT) / denom
+    upper = _count_in_class(view, starts, ends, _UPPER) / denom
+    digit = _count_in_class(view, starts, ends, _DIGIT) / denom
+    ws = _count_in_class(view, starts, ends,
+                         np.isin(np.arange(256), [9, 10, 11, 12, 13, 32]))
+    mean_tok = (n_chars - ws) / np.maximum(n_tok, 1).astype(np.float64)
+
+    out = batch.append_column("n_chars_c", pa.array(n_chars, pa.int64()))
+    out = out.append_column("n_tokens", pa.array(n_tok, pa.int64()))
+    out = out.append_column("punct_ratio", pa.array(punct, pa.float64()))
+    out = out.append_column("upper_ratio", pa.array(upper, pa.float64()))
+    out = out.append_column("digit_ratio", pa.array(digit, pa.float64()))
+    out = out.append_column("mean_token_len", pa.array(mean_tok, pa.float64()))
+    return out
+
+
+class LangIdStage:
+    """Heuristic language-ID over stopword hit-rates (actor-pool friendly:
+    the token-hash lookup tables are built once in __init__).
+
+    Appends ``lang_pred: string`` ('en'/'de'/'fr'/'es'/'und') and
+    ``lang_score: float64`` (stopword hit ratio of the winner).
+    Deterministic; a stand-in for a fasttext-style model (which would load
+    in __init__ exactly the same way).
+    """
+
+    def __init__(self):
+        from cutwed_ray.stages.hashing import hash_flat_strings
+
+        self.tables = {}
+        for lang, words in STOPWORDS.items():
+            data = "".join(words).encode()
+            lens = np.array([len(w) for w in words], dtype=np.int64)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            self.tables[lang] = set(
+                hash_flat_strings(np.frombuffer(data, np.uint8), starts, ends).tolist()
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # lowercase first so stopword hashes match
+        lowered = pc.utf8_lower(batch.column("text"))
+        th, offsets = tokenize_content(lowered, max_tokens=1 << 20)
+        n_tok = np.maximum(offsets[1:] - offsets[:-1], 1).astype(np.float64)
+        langs = sorted(self.tables)
+        scores = np.zeros((len(langs), len(batch)))
+        for li, lang in enumerate(langs):
+            tab = self.tables[lang]
+            hits = np.fromiter((h in tab for h in th.tolist()), count=th.shape[0],
+                               dtype=bool)
+            S = np.zeros(th.shape[0] + 1, dtype=np.int64)
+            np.cumsum(hits, out=S[1:])
+            scores[li] = (S[offsets[1:]] - S[offsets[:-1]]) / n_tok
+        best = scores.argmax(axis=0)
+        best_score = scores.max(axis=0)
+        pred = np.where(best_score > 0.02, np.array(langs)[best], "und")
+        out = batch.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
+        return out.append_column("lang_score", pa.array(best_score, pa.float64()))
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text", k: int = 5,
+                window: int = 8) -> pa.Table:
+    """Winnowing document fingerprint (Schleimer et al. 2003 style):
+    k-token rolling hashes, minimum per sliding window, xor-folded into one
+    ``fingerprint: int64`` per doc (deterministic near-dup-stable digest)."""
+    from cutwed_ray.stages.hashing import shingle_hashes
+
+    th, offsets = tokenize_content(batch.column(text_col), max_tokens=1 << 20)
+    sh, sh_off = shingle_hashes(th, offsets, k)
+    n_docs = len(batch)
+    fps = np.zeros(n_docs, dtype=np.uint64)
+    # per-doc: xor of window minima (vectorized with a strided min filter)
+    for di in range(n_docs):
+        s, e = sh_off[di], sh_off[di + 1]
+        if e <= s:
+            continue
+        h = sh[s:e]
+        if h.shape[0] <= window:
+            mins = np.array([h.min()], dtype=np.uint64)
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(h, window)
+            mins = sw.min(axis=1)
+        acc = np.uint64(0)
+        for m in np.unique(mins):
+            acc ^= m
+        fps[di] = splitmix64(np.array([acc], dtype=np.uint64))[0]
+    return batch.append_column("fingerprint", pa.array(fps.view(np.int64), pa.int64()))

@@ -1,0 +1,608 @@
+"""Driver-contract query catalog: Ray Data pipelines + DuckDB oracle SQL.
+
+Each entry in ``QUERIES`` is a callable ``(sf_dir) -> Dataset | pa.Table``;
+``ORACLE`` holds the equivalent ANSI SQL for DuckDB over the same parquet
+tables (views: region nation customer supplier part orders lineitem events
+documents embeddings).  Column names and integer widths match the SQL
+exactly (the driver hash-compares values after sorting columns by name).
+
+Floating-point aggregates are rounded to a fixed number of decimals on
+BOTH sides — summation order differs between engines, so raw double sums
+can differ in the last bits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------- dedup
+def q_exact_dedup(sf_dir: str):
+    from cutwed_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_EXACT_DEDUP = """
+SELECT text, min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+def q_exact_cluster(sf_dir: str):
+    from cutwed_ray.ops.dedup import exact_cluster
+
+    return exact_cluster(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_EXACT_CLUSTER = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------ blocking
+def q_block_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        n = np.maximum(t.column("n_chars").to_numpy(), 1).astype(np.float64)
+        lb = np.floor(np.log(n) / np.log(1.35)).astype(np.int64)
+        return pa.table({"lang": t.column("lang"),
+                         "len_bucket": pa.array(lb, pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby(["lang", "len_bucket"])
+              .aggregate(Count(alias_name="n_docs")))
+
+
+SQL_BLOCK_COUNTS = """
+SELECT lang, CAST(FLOOR(LN(GREATEST(n_chars, 1)) / LN(1.35)) AS BIGINT) AS len_bucket,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------- text
+def q_token_counts(sf_dir: str):
+    from cutwed_ray.ops.text import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: token_count(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+            ELSE length(regexp_split_to_array(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+       END AS n_tokens
+FROM documents
+"""
+
+
+def q_text_quality(sf_dir: str):
+    from cutwed_ray.ops.text import text_quality
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def fmt(t: pa.Table) -> pa.Table:
+        t = text_quality(t)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": t.column("n_tokens"),
+            "punct_ratio": pc.round(t.column("punct_ratio"), 8),
+            "upper_ratio": pc.round(t.column("upper_ratio"), 8),
+            "digit_ratio": pc.round(t.column("digit_ratio"), 8),
+        })
+
+    return ds.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_TEXT_QUALITY = r"""
+SELECT doc_id,
+       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+            ELSE length(regexp_split_to_array(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+       END AS n_tokens,
+       round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+             / GREATEST(n_chars, 1), 8) AS punct_ratio,
+       round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+             / GREATEST(n_chars, 1), 8) AS upper_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+             / GREATEST(n_chars, 1), 8) AS digit_ratio
+FROM documents
+"""
+
+
+def q_lang_doc_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    # partial aggregation inside map_batches, then a tiny groupby
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("lang", as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("lang")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("total_chars", alias_name="total_chars")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_docs").to_numpy().astype(np.int64)
+        tot = t.column("total_chars").to_numpy().astype(np.int64)
+        return pa.table({
+            "lang": t.column("lang"),
+            "n_docs": pa.array(n, pa.int64()),
+            "total_chars": pa.array(tot, pa.int64()),
+            "avg_chars": pa.array(np.round(tot / n, 6), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LANG_DOC_STATS = """
+SELECT lang, count(*) AS n_docs, SUM(n_chars) AS total_chars,
+       round(SUM(n_chars)::DOUBLE / count(*), 6) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_top_docs_by_chars(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_DOCS = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+"""
+
+
+# ----------------------------------------------------------------- relational
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped aggregate: pruned read, vectorized filter, partial
+    per-batch pre-aggregation before the (tiny) global groupby."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = np.datetime64("1998-09-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").to_numpy()
+        t = t.filter(pa.array(ship <= cutoff))
+        df = t.to_pandas()
+        # exact integer cents: floor(x*100 + 0.5) is bit-identical across
+        # engines (same double product in, same floor out) and integer sums
+        # are order-independent — no FP summation-order hazard
+        df["disc_cents"] = np.floor(
+            df.l_extendedprice * (1 - df.l_discount) * 100 + 0.5).astype(np.int64)
+        df["base_cents"] = np.floor(df.l_extendedprice * 100 + 0.5).astype(np.int64)
+        df["qty_i"] = np.floor(df.l_quantity + 0.5).astype(np.int64)
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty_i", "sum"),
+            sum_base_cents=("base_cents", "sum"),
+            sum_disc_cents=("disc_cents", "sum"),
+            count_order=("qty_i", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                        Sum("sum_base_cents", alias_name="sum_base_cents"),
+                        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+                        Sum("count_order", alias_name="count_order")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "sum_qty": pa.array(t.column("sum_qty").to_numpy().astype(np.int64),
+                                pa.int64()),
+            "sum_base_cents": pa.array(
+                t.column("sum_base_cents").to_numpy().astype(np.int64), pa.int64()),
+            "sum_disc_cents": pa.array(
+                t.column("sum_disc_cents").to_numpy().astype(np.int64), pa.int64()),
+            "count_order": pa.array(
+                t.column("count_order").to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sum_qty,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast hash join: the small customer side is ray.put once and read
+    inside the map stage (no shuffle join)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        df = t.to_pandas()
+        df["c_mktsegment"] = df.o_custkey.map(seg)
+        df["price_cents"] = np.floor(df.o_totalprice * 100 + 0.5).astype(np.int64)
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("price_cents", "size"), revenue_cents=("price_cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("c_mktsegment")
+             .aggregate(Sum("n_orders", alias_name="n_orders"),
+                        Sum("revenue_cents", alias_name="revenue_cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": t.column("c_mktsegment"),
+            "n_orders": pa.array(t.column("n_orders").to_numpy().astype(np.int64),
+                                 pa.int64()),
+            "revenue_cents": pa.array(
+                t.column("revenue_cents").to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_supplier_region_revenue(sf_dir: str):
+    """Multi-way broadcast join lineitem -> supplier -> nation -> region."""
+    import ray
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    s2n = dict(zip(sup.s_suppkey, sup.s_nationkey))
+    n2r = dict(zip(nat.n_nationkey, nat.n_regionkey))
+    r2name = dict(zip(reg.r_regionkey, reg.r_name))
+    lookup_ref = ray.put({k: r2name[n2r[v]] for k, v in s2n.items()})
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        df = t.to_pandas()
+        df["r_name"] = df.l_suppkey.map(lk)
+        df["rev_cents"] = np.floor(
+            df.l_extendedprice * (1 - df.l_discount) * 100 + 0.5).astype(np.int64)
+        g = df.groupby("r_name", as_index=False).agg(revenue_cents=("rev_cents", "sum"),
+                                                     n_items=("rev_cents", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("r_name")
+             .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                        Sum("n_items", alias_name="n_items")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": t.column("r_name"),
+            "revenue_cents": pa.array(
+                t.column("revenue_cents").to_numpy().astype(np.int64), pa.int64()),
+            "n_items": pa.array(t.column("n_items").to_numpy().astype(np.int64),
+                                pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SUPPLIER_REGION_REVENUE = """
+SELECT r.r_name,
+       SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+# -------------------------------------------------------------------- events
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour event-time windows per user (streaming-shaped op:
+    window = truncated timestamp key, no watermark needed for batch)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["hour"] = df.ts.dt.floor("h")
+        df["value_u"] = np.floor(df.value * 1e6 + 0.5).astype(np.int64)
+        g = df.groupby(["user_id", "hour"], as_index=False).agg(
+            n_events=("value_u", "size"), sum_value_u=("value_u", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["user_id", "hour"])
+             .aggregate(Sum("n_events", alias_name="n_events"),
+                        Sum("sum_value_u", alias_name="sum_value_u")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "hour": t.column("hour"),
+            "n_events": pa.array(t.column("n_events").to_numpy().astype(np.int64),
+                                 pa.int64()),
+            "sum_value_u": pa.array(
+                t.column("sum_value_u").to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_HOURLY = """
+SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+       SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS sum_value_u
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_type_stats(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["value_u"] = np.floor(df.value * 1e6 + 0.5).astype(np.int64)
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("value_u", "size"), sum_value_u=("value_u", "sum"),
+            max_value=("value", "max"), min_value=("value", "min"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sum_value_u", alias_name="sum_value_u"),
+                        Max("max_value", alias_name="max_value"),
+                        Min("min_value", alias_name="min_value")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n": pa.array(t.column("n").to_numpy().astype(np.int64), pa.int64()),
+            "sum_value_u": pa.array(
+                t.column("sum_value_u").to_numpy().astype(np.int64), pa.int64()),
+            "max_value": t.column("max_value"),
+            "min_value": t.column("min_value"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_TYPE_STATS = """
+SELECT event_type, count(*) AS n,
+       SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS sum_value_u,
+       MAX(value) AS max_value, MIN(value) AS min_value
+FROM events GROUP BY event_type
+"""
+
+
+# ----------------------------------------------------------------------- ANN
+KNN_QUERY_IDS = list(range(8))
+KNN_K = 5
+
+
+def q_knn_bruteforce(sf_dir: str):
+    from cutwed_ray.ops.ann import knn_bruteforce
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_bruteforce(ds, KNN_QUERY_IDS, k=KNN_K)
+
+    # only the (query, neighbor) id sets are compared against the oracle:
+    # DuckDB evaluates list_cosine_similarity in float32 while numpy works
+    # in float64, so the cosine VALUES differ in low bits (the top-k SETS
+    # agree — rank-boundary gaps are far larger than the precision delta)
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": pa.array(t.column("query_id").to_numpy().astype(np.int64),
+                                 pa.int64()),
+            "neighbor_id": pa.array(t.column("neighbor_id").to_numpy().astype(np.int64),
+                                    pa.int64()),
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_KNN_BRUTEFORCE = f"""
+WITH sims AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, n.embedding) AS cos
+  FROM embeddings q CROSS JOIN embeddings n
+  WHERE q.vec_id < {max(KNN_QUERY_IDS) + 1} AND n.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, neighbor_id ASC) <= {KNN_K}
+"""
+
+
+# ------------------------------------------------- non-SQL-expressible (rows-only)
+def q_minhash_near_dup(sf_dir: str):
+    from cutwed_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             verify_jaccard=0.5)
+
+
+def q_simhash_near_dup(sf_dir: str):
+    from cutwed_ray.ops.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                                  max_hamming=6)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from cutwed_ray.ops.dedup import embedding_near_dup_pairs
+
+    # testdata embeddings are random (max pairwise cosine ~0.48); 0.35 keeps
+    # a non-empty near-dup set to exercise the operator end-to-end
+    return embedding_near_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.35)
+
+
+def q_langid(sf_dir: str):
+    from cutwed_ray.ops.text import LangIdStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ds.map_batches(LangIdStage, batch_format="pyarrow",
+                          concurrency=(1, 2)).select_columns(
+        ["doc_id", "lang", "lang_pred", "lang_score"])
+
+
+def q_fingerprint(sf_dir: str):
+    from cutwed_ray.ops.text import fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(lambda t: fingerprint(t).select(["doc_id", "fingerprint"]),
+                          batch_format="pyarrow")
+
+
+def q_knn_lsh(sf_dir: str):
+    from cutwed_ray.ops.ann import knn_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_lsh(ds, KNN_QUERY_IDS, k=KNN_K)
+
+
+def q_twed_pairs_documents(sf_dir: str):
+    """Flagship scorer over the documents table: text -> token series ->
+    blocked TWED candidate pairs (not SQL-expressible)."""
+    from cutwed_ray.pipelines.entity_resolution import default_config, score_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def to_files(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": pa.array(["docs"] * len(t), pa.string()),
+            "path": pc.cast(t.column("doc_id"), pa.string()),
+            "commit": pa.array([""] * len(t), pa.string()),
+            "lang": t.column("lang"),
+            "content": t.column("text"),
+        })
+
+    cfg = default_config(threshold=0.35)
+    return score_pairs(ds.map_batches(to_files, batch_format="pyarrow"), cfg,
+                       n_buckets=16)
+
+
+def q_er_clusters_documents(sf_dir: str):
+    """Full flagship pipeline over documents: clusters with sha256 invariant."""
+    from cutwed_ray.pipelines.entity_resolution import default_config, run_er
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def to_files(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": pa.array(["docs"] * len(t), pa.string()),
+            "path": pc.cast(t.column("doc_id"), pa.string()),
+            "commit": pa.array([""] * len(t), pa.string()),
+            "lang": t.column("lang"),
+            "content": t.column("text"),
+        })
+
+    res = run_er(ds.map_batches(to_files, batch_format="pyarrow"),
+                 default_config(threshold=0.35), n_buckets=16)
+    return res.clusters.select_columns(["path", "sha256", "cluster_id"])
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: synthetic binary media table -> actor-pool
+    decode-stub -> feature vectors (sf_dir sets the table size)."""
+    import ray.data as rd
+
+    from cutwed_ray.ops.multimodal import BINARY_BATCH_KWARGS, DecodeImageStage, synth_media_table
+
+    n = 256 if "0.001" in sf_dir else 1024
+    ds = rd.from_arrow(synth_media_table(n, seed=42))
+    out = ds.map_batches(DecodeImageStage, fn_constructor_args=(16, False),
+                         concurrency=(1, 2), **BINARY_BATCH_KWARGS)
+    return out.select_columns(["media_id", "features", "decode_ok"])
+
+
+QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "exact_cluster": q_exact_cluster,
+    "block_counts": q_block_counts,
+    "token_counts": q_token_counts,
+    "text_quality": q_text_quality,
+    "lang_doc_stats": q_lang_doc_stats,
+    "top_docs_by_chars": q_top_docs_by_chars,
+    "lineitem_pricing": q_lineitem_pricing,
+    "orders_by_segment": q_orders_by_segment,
+    "supplier_region_revenue": q_supplier_region_revenue,
+    "events_hourly": q_events_hourly,
+    "events_type_stats": q_events_type_stats,
+    "knn_bruteforce": q_knn_bruteforce,
+    # rows-only (non-SQL-expressible):
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_near_dup": q_simhash_near_dup,
+    "embedding_near_dup": q_embedding_near_dup,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "knn_lsh": q_knn_lsh,
+    "twed_pairs_documents": q_twed_pairs_documents,
+    "er_clusters_documents": q_er_clusters_documents,
+    "media_features": q_media_features,
+}
+
+ORACLE = {
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "exact_cluster": SQL_EXACT_CLUSTER,
+    "block_counts": SQL_BLOCK_COUNTS,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_doc_stats": SQL_LANG_DOC_STATS,
+    "top_docs_by_chars": SQL_TOP_DOCS,
+    "lineitem_pricing": SQL_LINEITEM_PRICING,
+    "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+    "supplier_region_revenue": SQL_SUPPLIER_REGION_REVENUE,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_type_stats": SQL_EVENTS_TYPE_STATS,
+    "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+}
