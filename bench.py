@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "er": {...pairs/sec...}}
+
+Headline = the flagship entity-resolution pipeline (blocking + TWED
+scoring + clustering) over the deterministic seeded synthetic code-repo
+table (BASELINE.json input_hint schema), sized by the sf of GRAFT_SF_DIR
+and cached as Parquet under /tmp.  Also times the flagship over the
+testdata documents table plus representative operator queries.
+
+`bench.py --scaling` runs the same workload in fresh processes at
+num_cpus=8 and 32 and reports both times + scaling efficiency
+(BASELINE.md two-cluster-size criterion; see that file for protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+#: synthetic corpus rows per sf (sf parsed from the dir name); lengths are
+#: log-normal around exp(5.5)~245 tokens so the quadratic TWED scoring is
+#: the dominant compute (not fixed pipeline overhead)
+CORPUS_ROWS = {"0.001": 2_000, "0.01": 20_000, "0.1": 120_000}
+CORPUS_LOG_LEN = float(os.environ.get("GRAFT_BENCH_LOGLEN", "6.0"))
+
+
+def _sf() -> str:
+    for k in sorted(CORPUS_ROWS, key=len, reverse=True):
+        if f"sf{k}" in SF_DIR:
+            return k
+    return "0.1"
+
+
+def corpus_path(n_files: int) -> str:
+    """Deterministic synthetic repo table, generated once (32 parallel Ray
+    tasks) and cached under /tmp; requires Ray to be initialised."""
+    out = f"/tmp/cutwed_ray_corpus/par_n{n_files}_L{CORPUS_LOG_LEN}_seed42"
+    from cutwed_ray.corpus import write_corpus_parallel
+
+    write_corpus_parallel(out, n_files, seed=42, mean_log_len=CORPUS_LOG_LEN)
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from cutwed_ray.pipelines import queries as Q
+    from cutwed_ray.pipelines.entity_resolution import (
+        default_config, run_er, score_pairs, tune_data_context)
+
+    tune_data_context(NUM_CPUS)
+    sf = _sf()
+    n_files = int(os.environ.get("GRAFT_BENCH_N", CORPUS_ROWS[sf]))
+    cpath = corpus_path(n_files)
+
+    # warm-up: page cache for inputs AND worker-process imports + the
+    # compiled kernel (first pipeline execution otherwise pays ~1-2 s of
+    # module imports in every Ray worker)
+    rd.read_parquet(f"{cpath}/files").count()
+    for t in ("documents", "lineitem", "events", "embeddings"):
+        rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
+    score_pairs(rd.read_parquet(f"{cpath}/files").limit(1000),
+                default_config(), n_buckets=8).count()
+
+    results: dict[str, float] = {}
+    extras: dict = {}
+
+    # --- headline: flagship ER on the synthetic repo table ---
+    # 6 bands x 3 minhash rows: for the long-doc bench corpus this keeps
+    # same-entity blocking recall at 0.976 while shrinking hot chance-
+    # collision bands (max block 21 vs 279 with 2-row bands) — the skew
+    # that otherwise serializes one scorer task on 16% of all work.
+    # Two passes, min taken: steady-state throughput, not warmup noise.
+    cfg = default_config(threshold=0.25, scorer_concurrency=NUM_CPUS,
+                         minhash_perms=18, minhash_bands=6)
+    er_sec = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        res = run_er(rd.read_parquet(f"{cpath}/files"), cfg,
+                     n_buckets=2 * NUM_CPUS, strategy="broadcast")
+        n_clusters_rows = res.clusters.count()
+        er_sec = min(er_sec, time.time() - t0)
+    results["er_synthetic"] = round(er_sec, 3)
+    n_pairs = res.metrics.get("n_pairs_scored", 0)
+    extras["er"] = {
+        "n_files": n_files,
+        "n_pairs_scored": n_pairs,
+        "pairs_per_sec": round(n_pairs / er_sec, 1),
+        "n_edges": res.metrics.get("n_edges"),
+        "rows_labeled": n_clusters_rows,
+    }
+
+    # --- flagship over the testdata documents table ---
+    t0 = time.time()
+    Q.q_er_clusters_documents(SF_DIR).to_pandas()
+    results["er_documents"] = round(time.time() - t0, 3)
+
+    # --- representative operator queries ---
+    for name in ["minhash_near_dup", "simhash_near_dup", "token_counts",
+                 "text_quality", "lineitem_pricing", "events_hourly",
+                 "knn_bruteforce", "exact_dedup"]:
+        t0 = time.time()
+        out = Q.QUERIES[name](SF_DIR)
+        # consume without materializing to the driver more than needed
+        out.count() if hasattr(out, "count") else len(out)
+        results[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+
+    headline = results["er_synthetic"]
+    return {
+        "metric": "er_synthetic_wall_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf),
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    # one untimed generation/cache warm pass happens inside the first run
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo_cpus,
+        "cpus_hi": hi_cpus,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "pairs_per_sec_lo": lo.get("er", {}).get("pairs_per_sec"),
+        "pairs_per_sec_hi": hi.get("er", {}).get("pairs_per_sec"),
+        "queries_lo": lo["queries"],
+        "queries_hi": hi["queries"],
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -48,6 +48,7 @@ def generate_corpus(
     singleton_frac: float = 0.55,
     max_cluster: int = 6,
     max_edits: int = 6,
+    path_prefix: str = "",
 ) -> tuple[pa.Table, pa.Table]:
     """Return (files, truth) Arrow tables.
 
@@ -88,7 +89,7 @@ def generate_corpus(
                 toks = _apply_edits(rng, base, n_ed, len(vocab), vprobs)
             content = _render(toks, vocab)
             repo = f"org{entity_id % 97}/repo{entity_id % 31}"
-            path = f"src/mod{entity_id}/file{file_idx}.{_EXT[lang]}"
+            path = f"{path_prefix}src/mod{entity_id}/file{file_idx}.{_EXT[lang]}"
             commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
             repos.append(repo); paths.append(path); commits.append(commit)
             langs.append(lang); contents.append(content)
@@ -134,6 +135,47 @@ def _render(toks: np.ndarray, vocab: np.ndarray) -> str:
     for i in range(0, len(words), 12):
         out.append(" ".join(words[i:i + 12]))
     return "\n".join(out)
+
+
+def write_corpus_parallel(out_dir: str, n_files: int, seed: int = 42,
+                          n_shards: int = 32, **kw) -> str:
+    """Generate a large corpus as n_shards deterministic Ray tasks.
+
+    Shard s generates ceil(n/n_shards) files with seed ``seed*1000+s`` and
+    writes ``files_s.parquet`` / ``truth_s.parquet`` — the union over shards
+    is the corpus (deterministic for a given (n_files, seed, n_shards)).
+    Entity ids are made globally unique by offsetting with the shard index.
+    Requires an initialised Ray session.
+    """
+    import os
+
+    import ray
+
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(os.path.join(out_dir, "files"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "truth"), exist_ok=True)
+
+    @ray.remote
+    def gen_shard(s: int, n: int) -> int:
+        files, truth = generate_corpus(n, seed=seed * 1000 + s,
+                                       path_prefix=f"s{s:03d}/", **kw)
+        ent = truth.column("entity_id").to_numpy() * n_shards + s
+        truth = truth.set_column(truth.column_names.index("entity_id"),
+                                 "entity_id", pa.array(ent, pa.int64()))
+        pq.write_table(files, os.path.join(out_dir, "files", f"part_{s:03d}.parquet"),
+                       row_group_size=8192)
+        pq.write_table(truth, os.path.join(out_dir, "truth", f"part_{s:03d}.parquet"),
+                       row_group_size=8192)
+        return n
+
+    per = -(-n_files // n_shards)
+    counts = [min(per, n_files - s * per) for s in range(n_shards)]
+    ray.get([gen_shard.remote(s, c) for s, c in enumerate(counts) if c > 0])
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
 
 
 def write_corpus(out_dir: str, n_files: int, seed: int = 42, **kw) -> tuple[str, str]:

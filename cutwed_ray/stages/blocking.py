@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from cutwed_ray.config import PipelineConfig
-from cutwed_ray.stages.hashing import hash_string_array, splitmix64
+from cutwed_ray.stages.hashing import _ranges, hash_string_array, splitmix64
 
 #: columns the scorer needs per exploded row
 BLOCK_COLS = ["bucket", "block_key", "band_id", "row_id", "sha256", "n_tokens", "tokens"]
@@ -36,9 +36,13 @@ class ExplodeBands:
     (band_0..band_{B-1}) needed for cross-band pair dedup in the scorer.
     """
 
-    def __init__(self, cfg: PipelineConfig, n_buckets: int = 64):
+    def __init__(self, cfg: PipelineConfig, n_buckets: int = 64,
+                 carry_tokens: bool = True):
         self.cfg = cfg
         self.n_buckets = n_buckets
+        # carry_tokens=False emits LIGHT rows (ids + keys only, tokens stay
+        # out of the shuffle) for the broadcast-store scoring strategy
+        self.carry_tokens = carry_tokens
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -57,18 +61,44 @@ class ExplodeBands:
         keys = splitmix64(base_key[:, None] ^ bands ^ (band_ids[None, :] + np.uint64(0x1234567)))
         buckets = (keys % np.uint64(self.n_buckets)).astype(np.int32)
 
+        # Build the 8x-replicated table with flat-buffer NumPy ops —
+        # pa.Table.take on a list<float> column is ~100x slower than a
+        # direct value-buffer gather (measured: 250s core-time on a 200k-row
+        # corpus, vs ~3s for this construction).
         take_idx = np.repeat(np.arange(n, dtype=np.int64), nb)
-        cols = {
+        cols: dict[str, pa.Array] = {
             "bucket": pa.array(buckets.reshape(-1), pa.int32()),
             "block_key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
             "band_id": pa.array(np.tile(np.arange(nb, dtype=np.int8), n), pa.int8()),
         }
-        payload = batch.select(
-            [c for c in ("row_id", "sha256", "n_tokens", "tokens") if c in batch.column_names]
-            + [f"band_{i}" for i in range(nb)]
-        ).take(pa.array(take_idx))
-        out = pa.table({**cols, **{c: payload.column(c) for c in payload.column_names}})
-        return out
+
+        if self.carry_tokens:
+            tok = batch.column("tokens")
+            if isinstance(tok, pa.ChunkedArray):
+                tok = tok.combine_chunks()
+            tok_vals = np.asarray(tok.values)
+            tok_off = np.asarray(tok.offsets, dtype=np.int64)
+            starts = tok_off[:-1][take_idx]
+            counts = (tok_off[1:] - tok_off[:-1])[take_idx]
+            new_off = np.zeros(take_idx.shape[0] + 1, dtype=np.int64)
+            np.cumsum(counts, out=new_off[1:])
+            nz = counts > 0      # _ranges requires positive segment lengths
+            gather = _ranges(starts[nz], counts[nz])
+            new_vals = tok_vals[gather] if gather.size else tok_vals[:0]
+            cols["tokens"] = pa.ListArray.from_arrays(
+                pa.array(new_off, pa.int32()), pa.array(new_vals, tok.type.value_type))
+            # sha256 strings: arrow take on a plain string column is fine
+            cols["sha256"] = batch.column("sha256").take(pa.array(take_idx))
+        else:
+            ck = hash_string_array(batch.column("sha256")).view(np.int64)
+            cols["content_key"] = pa.array(ck[take_idx], pa.int64())
+
+        for c in ("row_id", "n_tokens"):
+            cols[c] = pa.array(batch.column(c).to_numpy()[take_idx])
+        for i in range(nb):
+            cols[f"band_{i}"] = pa.array(
+                batch.column(f"band_{i}").to_numpy()[take_idx], pa.uint64())
+        return pa.table(cols)
 
 
 def block_stats(exploded_ds) -> "pa.Table":

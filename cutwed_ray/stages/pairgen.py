@@ -1,0 +1,170 @@
+"""Candidate-pair generation from LIGHT exploded band rows (no tokens).
+
+Same block semantics as the carrying scorer (stages/scorer.py): segment a
+bucket into blocks, collapse exact duplicates, salt-cap oversized blocks,
+emit i<j pairs deduplicated across bands by the first-collision rule.
+Output is only ids + block metadata — the heavy token payload never enters
+this shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from cutwed_ray.config import PipelineConfig
+from cutwed_ray.stages.hashing import splitmix64
+
+PAIRGEN_SCHEMA = pa.schema([
+    ("id_a", pa.int64()),
+    ("id_b", pa.int64()),
+    ("exact", pa.bool_()),
+    ("block_key", pa.int64()),
+    ("bucket", pa.int32()),
+    ("pair_max_len", pa.int32()),
+])
+
+
+def _pairs_within_segments(sizes: np.ndarray):
+    """Vectorized i<j pair indices for consecutive segments of given sizes.
+
+    Rows are numbered 0..sum(sizes)-1 in segment order; returns (ia, ib)
+    global indices of every within-segment ordered pair.
+    """
+    from cutwed_ray.stages.hashing import _ranges
+
+    R = int(sizes.sum())
+    if R == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    seg_first = np.zeros(sizes.shape[0], dtype=np.int64)
+    np.cumsum(sizes[:-1], out=seg_first[1:])
+    t = np.arange(R, dtype=np.int64) - np.repeat(seg_first, sizes)   # local pos
+    counts = np.repeat(sizes, sizes) - 1 - t                         # partners after me
+    nz = counts > 0
+    ia = np.repeat(np.arange(R, dtype=np.int64)[nz], counts[nz])
+    ib = _ranges(np.arange(R, dtype=np.int64)[nz] + 1, counts[nz])
+    return ia, ib
+
+
+def generate_block_pairs(key_np, row_id, content_key, bands, band_id_np,
+                         cfg: PipelineConfig):
+    """Candidate pairs for one bucket — fully vectorized across its blocks.
+
+    Returns (ia, ib, exact, bkeys): integer ROW indices into the bucket
+    arrays, the exact-duplicate flag, and the block key per pair.  Semantics
+    (identical to the original per-block loop):
+
+    * rows sort by (block_key, content_key); one rep per distinct content
+      per block; at band 0, members link to their rep as 0-distance pairs;
+    * reps form i<j pairs within each block (the reference's tril
+      work-skipping done before scoring, src/cuTWED_core.h:598-600);
+    * a pair is kept only in the block of the FIRST band the two rows share
+      (cross-band dedup without a shuffle);
+    * blocks larger than ``cfg.max_block_size`` are salt-split into
+      sub-blocks (documented recall cap for pathological hot blocks).
+    """
+    n = key_np.shape[0]
+    order = np.lexsort((content_key, key_np))
+    k_s = key_np[order]
+    ck_s = content_key[order]
+
+    new_block = np.r_[True, k_s[1:] != k_s[:-1]]
+    new_run = new_block | np.r_[True, ck_s[1:] != ck_s[:-1]]
+
+    out_ia, out_ib, out_exact, out_key = [], [], [], []
+
+    # --- exact-duplicate member -> rep links (band 0 blocks only) ---
+    run_start_pos = np.where(new_run, np.arange(n), 0)
+    np.maximum.accumulate(run_start_pos, out=run_start_pos)
+    members = ~new_run
+    if members.any():
+        mem = np.nonzero(members)[0]
+        first_band = band_id_np[order[mem]] == 0
+        mem = mem[first_band]
+        if mem.size:
+            out_ia.append(order[run_start_pos[mem]])
+            out_ib.append(order[mem])
+            out_exact.append(np.ones(mem.size, dtype=bool))
+            out_key.append(k_s[mem])
+
+    # --- rep pairs within blocks ---
+    rep_pos = np.nonzero(new_run)[0]
+    rep_block = np.cumsum(new_block)[rep_pos] - 1       # block id per rep
+    sizes = np.bincount(rep_block)
+    big = sizes > cfg.max_block_size
+    if big.any():
+        # salt-split oversized blocks: re-key each rep of a big block by a
+        # deterministic sub-group id, then treat sub-groups as blocks
+        rep_rows = order[rep_pos]
+        is_big = big[rep_block]
+        sub = np.zeros(rep_pos.shape[0], dtype=np.int64)
+        nsub = -(-sizes[rep_block[is_big]] // cfg.max_block_size)
+        sub[is_big] = (
+            splitmix64(row_id[rep_rows[is_big]].view(np.uint64)
+                       ^ np.uint64(cfg.block_salt_seed))
+            % nsub.astype(np.uint64)
+        ).astype(np.int64)
+        o2 = np.lexsort((sub, rep_block))
+        rep_pos = rep_pos[o2]
+        rb2 = rep_block[o2]
+        sub2 = sub[o2]
+        seg_new = np.r_[True, (rb2[1:] != rb2[:-1]) | (sub2[1:] != sub2[:-1])]
+        sizes = np.diff(np.r_[np.nonzero(seg_new)[0], rep_pos.shape[0]])
+    ia_l, ib_l = _pairs_within_segments(sizes)
+    if ia_l.size:
+        pa_pos, pb_pos = rep_pos[ia_l], rep_pos[ib_l]
+        ia = order[pa_pos]
+        ib = order[pb_pos]
+        band_id = band_id_np[ia]
+        eq = bands[ia] == bands[ib]
+        keep = eq.argmax(axis=1) == band_id
+        if keep.any():
+            out_ia.append(ia[keep])
+            out_ib.append(ib[keep])
+            out_exact.append(np.zeros(int(keep.sum()), dtype=bool))
+            out_key.append(key_np[ia[keep]])
+
+    if not out_ia:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=bool), z
+    return (np.concatenate(out_ia), np.concatenate(out_ib),
+            np.concatenate(out_exact), np.concatenate(out_key))
+
+
+class PairGen:
+    """map_groups callable: one bucket of light band rows -> candidate pairs."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = len(group)
+        if n < 2:
+            return PAIRGEN_SCHEMA.empty_table()
+        key_np = group.column("block_key").to_numpy()
+        row_id = group.column("row_id").to_numpy()
+        n_tokens = group.column("n_tokens").to_numpy().astype(np.int64)
+        band_id_np = group.column("band_id").to_numpy()
+        content_key = group.column("content_key").to_numpy().view(np.uint64)
+        bands = np.stack(
+            [group.column(f"band_{i}").to_numpy() for i in range(cfg.minhash_bands)],
+            axis=1)
+        bucket_val = int(group.column("bucket")[0].as_py())
+
+        ia, ib, exact, bkeys = generate_block_pairs(
+            key_np, row_id, content_key, bands, band_id_np, cfg)
+        if ia.size == 0:
+            return PAIRGEN_SCHEMA.empty_table()
+        id_a, id_b = row_id[ia], row_id[ib]
+        swap = id_a > id_b
+        return pa.table({
+            "id_a": pa.array(np.where(swap, id_b, id_a), pa.int64()),
+            "id_b": pa.array(np.where(swap, id_a, id_b), pa.int64()),
+            "exact": pa.array(exact, pa.bool_()),
+            "block_key": pa.array(bkeys, pa.int64()),
+            "bucket": pa.array(np.full(ia.shape[0], bucket_val, dtype=np.int32), pa.int32()),
+            "pair_max_len": pa.array(
+                np.maximum(n_tokens[ia], n_tokens[ib]).astype(np.int32), pa.int32()),
+        })

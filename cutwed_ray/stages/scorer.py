@@ -56,75 +56,6 @@ class ScoreBucket:
         self.cfg = cfg or PipelineConfig()
         self.dtype = np.dtype(self.cfg.dtype)
 
-    # ---- pair generation ------------------------------------------------
-    def _block_pairs(self, order, key_np, bands, content_key, row_id):
-        """Yield (ia, ib, exact) global-row-index pair arrays for every block."""
-        cfg = self.cfg
-        nb = cfg.minhash_bands
-        sorted_keys = key_np[order]
-        bounds = np.flatnonzero(np.r_[True, sorted_keys[1:] != sorted_keys[:-1], True])
-        out_ia, out_ib, out_exact, out_key = [], [], [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            k = e - s
-            if k < 2:
-                continue
-            rows = order[s:e]
-            bkey = sorted_keys[s]
-            band_id = int(self.band_id_np[rows[0]])
-
-            # exact-duplicate collapse within the block (band 0 only — exact
-            # dups collide on every band, so band 0 is their first collision)
-            ck = content_key[rows]
-            o2 = np.argsort(ck, kind="stable")
-            ck_s = ck[o2]
-            grp = np.flatnonzero(np.r_[True, ck_s[1:] != ck_s[:-1]])
-            reps_local = o2[grp]
-            if band_id == 0 and reps_local.shape[0] < k:
-                ge = np.r_[grp, k]
-                for gi in range(reps_local.shape[0]):
-                    lo, hi = ge[gi], ge[gi + 1]
-                    if hi - lo > 1:
-                        members = rows[o2[lo:hi]]
-                        out_ia.append(np.full(hi - lo - 1, members[0]))
-                        out_ib.append(members[1:])
-                        out_exact.append(np.ones(hi - lo - 1, dtype=bool))
-                        out_key.append(np.full(hi - lo - 1, bkey, dtype=np.int64))
-            reps = rows[np.sort(reps_local)]
-            m = reps.shape[0]
-            if m < 2:
-                continue
-
-            # salt-cap oversized blocks: sub-blocks of <= max_block_size
-            if m > cfg.max_block_size:
-                nsub = -(-m // cfg.max_block_size)
-                sub = (splitmix64(row_id[reps].view(np.uint64) ^ np.uint64(cfg.block_salt_seed))
-                       % np.uint64(nsub)).astype(np.int64)
-                so = np.argsort(sub, kind="stable")
-                sub_s = sub[so]
-                sb = np.flatnonzero(np.r_[True, sub_s[1:] != sub_s[:-1], True])
-                groups = [reps[so[a:b]] for a, b in zip(sb[:-1], sb[1:])]
-            else:
-                groups = [reps]
-
-            for g in groups:
-                mg = g.shape[0]
-                if mg < 2:
-                    continue
-                ia_l, ib_l = np.triu_indices(mg, k=1)
-                ia, ib = g[ia_l], g[ib_l]
-                # first-collision band dedup across the nb bands
-                eq = bands[ia] == bands[ib]                   # (P, nb)
-                first = eq.argmax(axis=1)                     # first shared band
-                keep = first == band_id
-                # skip pairs already linked as exact dups (same content key)
-                keep &= content_key[ia] != content_key[ib]
-                if keep.any():
-                    out_ia.append(ia[keep])
-                    out_ib.append(ib[keep])
-                    out_exact.append(np.zeros(int(keep.sum()), dtype=bool))
-                    out_key.append(np.full(int(keep.sum()), bkey, dtype=np.int64))
-        return out_ia, out_ib, out_exact, out_key
-
     # ---- scoring --------------------------------------------------------
     def _score_chunk(self, ia, ib, tok_values, tok_offsets, n_tokens):
         """Score one chunk of pairs with the pool-indirect sweep."""
@@ -154,10 +85,12 @@ class ScoreBucket:
         if n < 2:
             return _empty_pairs()
 
+        from cutwed_ray.stages.pairgen import generate_block_pairs
+
         key_np = group.column("block_key").to_numpy()
         row_id = group.column("row_id").to_numpy()
         n_tokens = group.column("n_tokens").to_numpy().astype(np.int64)
-        self.band_id_np = group.column("band_id").to_numpy()
+        band_id_np = group.column("band_id").to_numpy()
         bands = np.stack(
             [group.column(f"band_{i}").to_numpy() for i in range(cfg.minhash_bands)],
             axis=1,
@@ -165,14 +98,10 @@ class ScoreBucket:
         content_key = hash_string_array(group.column("sha256"))
         bucket_val = int(group.column("bucket")[0].as_py())
 
-        order = np.argsort(key_np, kind="stable")
-        ia_l, ib_l, ex_l, bk_l = self._block_pairs(order, key_np, bands, content_key, row_id)
-        if not ia_l:
+        ia, ib, exact, bkeys = generate_block_pairs(
+            key_np, row_id, content_key, bands, band_id_np, cfg)
+        if ia.size == 0:
             return _empty_pairs()
-        ia = np.concatenate(ia_l)
-        ib = np.concatenate(ib_l)
-        exact = np.concatenate(ex_l)
-        bkeys = np.concatenate(bk_l)
 
         # flat token buffer (zero-copy out of Arrow)
         tok_col = group.column("tokens")

@@ -1,0 +1,136 @@
+"""Broadcast-store TWED scorer: pairs in, scores out, tokens from plasma.
+
+The small-side-broadcast variant of the scoring stage: when the tokenized
+corpus fits the object store (bench scale; configurable cap), the flat
+token store is ``ray.put`` ONCE and every scorer actor maps it zero-copy
+from plasma in ``__init__`` — the blocking shuffle then only moves light
+band rows (ids + 64-bit keys), ~25x less than carrying token lists
+(stages/scorer.py remains the carry path for corpora beyond store size).
+
+This is also the closest analogue of the reference's device-resident batch
+mode (twed_batch_dev, /root/reference/src/cuTWED_core.h:504-690): "series
+already on device" == "store already in plasma", with per-call index pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from cutwed_ray.config import PipelineConfig
+from cutwed_ray.stages.hashing import _ranges
+
+
+def build_token_store(tokenized_ds):
+    """Collect (row_id, tokens) into one flat broadcast object.
+
+    Returns (object_ref, n_rows, n_bytes).  Layout: row_ids sorted int64,
+    offsets int64 (S+1), values float32 — actors look ids up via
+    searchsorted (zero-copy views onto plasma).
+    """
+    import ray
+
+    tables = ray.get(list(
+        tokenized_ds.select_columns(["row_id", "tokens"]).to_arrow_refs()))
+    ids_l, vals_l, lens_l = [], [], []
+    for t in tables:
+        if t.num_rows == 0:
+            continue
+        tok = t.column("tokens")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        ids_l.append(t.column("row_id").to_numpy())
+        off = np.asarray(tok.offsets, dtype=np.int64)
+        lens_l.append(off[1:] - off[:-1])
+        vals_l.append(np.asarray(tok.values, dtype=np.float32))
+    ids = np.concatenate(ids_l)
+    lens = np.concatenate(lens_l)
+    vals = np.concatenate(vals_l)
+    # values stay in arrival order — the lookup arrays (sorted by id) carry
+    # each row's (start, len) so no 100s-of-MB re-gather is needed
+    starts = np.zeros(ids.shape[0], dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    order = np.argsort(ids, kind="stable")
+    store = {
+        "row_ids": ids[order],
+        "starts": starts[order],
+        "lens": lens[order].astype(np.int64),
+        "values": vals,
+    }
+    return ray.put(store), ids.shape[0], vals.nbytes + 3 * ids.nbytes
+
+
+class TwedScorerBroadcast:
+    """Actor-pool ``map_batches`` stage scoring candidate-pair batches.
+
+    __init__ maps the broadcast token store from plasma (once per actor);
+    __call__ packs each batch's unique series into padded pools
+    (vectorized flat gather) and runs the compiled anti-diagonal kernel.
+    """
+
+    def __init__(self, store_ref, cfg: PipelineConfig | None = None):
+        import ray
+
+        self.cfg = cfg or PipelineConfig()
+        store = ray.get(store_ref)
+        self.row_ids = store["row_ids"]
+        self.starts = store["starts"]
+        self.lens = store["lens"]
+        self.values = store["values"]
+        self.dtype = np.dtype(self.cfg.dtype)
+
+    def _pack(self, uniq_idx: np.ndarray):
+        """Pad the unique store rows into (S, M) pools (vectorized)."""
+        starts = self.starts[uniq_idx]
+        lens = self.lens[uniq_idx]
+        S = uniq_idx.shape[0]
+        M = int(lens.max()) if S else 0
+        X = np.zeros((S, M), dtype=np.float64)
+        TX = np.zeros((S, M), dtype=np.float64)
+        nz = lens > 0
+        if nz.any():
+            gather = _ranges(starts[nz], lens[nz])
+            rows = np.repeat(np.arange(S)[nz], lens[nz])
+            pos = _ranges(np.zeros(int(nz.sum()), dtype=np.int64), lens[nz])
+            X[rows, pos] = self.values[gather].astype(np.float64)
+            TX[rows, pos] = pos
+        return X[:, :, None], TX, lens
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from cutwed_ray.kernel.batch import _sweep
+
+        cfg = self.cfg
+        n = len(batch)
+        if n == 0:
+            return batch.append_column("twed", pa.array([], pa.float64())) \
+                        .append_column("twed_norm", pa.array([], pa.float64()))
+        id_a = batch.column("id_a").to_numpy()
+        id_b = batch.column("id_b").to_numpy()
+        exact = batch.column("exact").to_numpy()
+
+        twed_out = np.zeros(n, dtype=np.float64)
+        la = np.searchsorted(self.row_ids, id_a)
+        lb = np.searchsorted(self.row_ids, id_b)
+        len_a = self.lens[la]
+        len_b = self.lens[lb]
+
+        need = np.flatnonzero(~exact)
+        if need.size:
+            # chunk by padded length so each pool pads to similar M
+            pm = np.maximum(len_a[need], len_b[need])
+            po = need[np.argsort(pm, kind="stable")]
+            bs = cfg.score_batch_pairs
+            t = cfg.twed
+            for s in range(0, po.shape[0], bs):
+                sel = po[s: s + bs]
+                uniq, inv = np.unique(np.r_[la[sel], lb[sel]], return_inverse=True)
+                X, TX, lens = self._pack(uniq)
+                P = sel.shape[0]
+                res = _sweep(X, TX, lens, X, TX, lens,
+                             inv[:P].astype(np.int64), inv[P:].astype(np.int64),
+                             t.nu, t.lamb, t.degree)
+                twed_out[sel] = res
+
+        norm = twed_out / np.maximum(len_a + len_b, 1)
+        out = batch.append_column("twed", pa.array(twed_out, pa.float64()))
+        return out.append_column("twed_norm", pa.array(norm, pa.float64()))

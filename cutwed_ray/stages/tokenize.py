@@ -12,7 +12,7 @@ Output columns appended to the input batch:
     sha256      string   — hex digest of content (per-row invariant)
     row_id      int64    — stable row identity: hash(repo, path, commit)
                           (int64 so Ray/pandas/DuckDB aggregates stay native)
-    tokens      list<float64> — token-hash series values in [0,1)
+    tokens      list<float32> — token-hash series values in [0,1)
     n_tokens    int64
     len_bucket  int32    — geometric length bucket (near-equal lengths per block)
     band_0..band_{B-1} uint64 — MinHash-LSH band signatures over token shingles
@@ -186,9 +186,12 @@ class TokenizeStage:
                               seed=cfg.block_salt_seed)
 
         # int32 list offsets: per-batch token totals are far below 2^31 and a
-        # consistent list<float64> type across batches keeps the schema stable
+        # consistent list type across batches keeps the schema stable.
+        # float32 halves the blocking-shuffle payload (tokens dominate row
+        # bytes); the ~1e-7 quantization is irrelevant at threshold scale
         tokens_arr = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pa.array(values, pa.float64())
+            pa.array(offsets, pa.int32()),
+            pa.array(values.astype(np.float32), pa.float32()),
         )
 
         out = batch.append_column("sha256", pa.array(sha, pa.string()))
