@@ -149,12 +149,20 @@ def knn_lsh(ds, query_ids, k: int = 5, id_col: str = "vec_id",
     qids = q_tbl.column(id_col).to_numpy().astype(np.int64)
     qbuckets = q_tbl.column("ann_bucket").to_numpy().view(np.uint64)
 
-    # expand probe set: query bucket + neighbors at Hamming <= multiprobe
+    # expand probe set: query bucket + all buckets at Hamming <= multiprobe
+    import itertools
+
     probe_rows, probe_keys = [qids], [qbuckets]
-    if multiprobe >= 1:
-        for b in range(n_planes):
-            probe_rows.append(qids)
-            probe_keys.append(qbuckets ^ (np.uint64(1) << np.uint64(b)))
+    flips = [np.uint64(0)]
+    for r in range(1, max(0, int(multiprobe)) + 1):
+        for combo in itertools.combinations(range(n_planes), r):
+            m = np.uint64(0)
+            for b in combo:
+                m |= np.uint64(1) << np.uint64(b)
+            flips.append(m)
+    for m in flips[1:]:
+        probe_rows.append(qids)
+        probe_keys.append(qbuckets ^ m)
     probe = {}
     for ids_, keys_ in zip(probe_rows, probe_keys):
         for qid, key in zip(ids_.tolist(), keys_.view(np.int64).tolist()):
