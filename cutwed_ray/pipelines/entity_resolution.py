@@ -224,6 +224,10 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
 
     metrics["n_pairs_scored"] = pairs.count()
     metrics["n_exact_pairs"] = pairs.filter(expr="exact == True").count()
+    if "n_dropped_bucket" in pairs.schema().names:
+        # pairs sacrificed to the oversized-block salt cap (upper bound on
+        # distinct pairs — see stages/pairgen.generate_block_pairs docstring)
+        metrics["n_dropped_pairs"] = int(pairs.sum("n_dropped_bucket") or 0)
     metrics["n_cluster_merges"] = len(mapping)
     metrics["wall_sec"] = round(time.time() - t0, 3)
 

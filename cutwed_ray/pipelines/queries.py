@@ -424,6 +424,43 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_sessions(sf_dir: str):
+    """Session windows (30-minute inactivity gap) per user — the
+    streaming-shaped sessionization op expressed as sorted per-key
+    ``map_groups`` (Ray Data has no watermarks; the ordering assumption is
+    events sorted by ts within each user group)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g.ts.diff() > pd.Timedelta(minutes=30)
+        sess = gap.cumsum()
+        out = g.groupby(sess, as_index=False).agg(
+            session_start=("ts", "min"), n_events=("ts", "size"))
+        out["user_id"] = g.user_id.iloc[0]
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[["user_id", "session_start", "n_events"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_EVENTS_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sess GROUP BY user_id, sess_id
+"""
+
+
 # ----------------------------------------------------------------------- ANN
 KNN_QUERY_IDS = list(range(8))
 KNN_K = 5
@@ -578,6 +615,7 @@ QUERIES = {
     "supplier_region_revenue": q_supplier_region_revenue,
     "events_hourly": q_events_hourly,
     "events_type_stats": q_events_type_stats,
+    "events_sessions": q_events_sessions,
     "knn_bruteforce": q_knn_bruteforce,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
@@ -604,5 +642,6 @@ ORACLE = {
     "supplier_region_revenue": SQL_SUPPLIER_REGION_REVENUE,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
+    "events_sessions": SQL_EVENTS_SESSIONS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
 }

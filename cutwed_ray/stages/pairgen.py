@@ -22,6 +22,7 @@ PAIRGEN_SCHEMA = pa.schema([
     ("block_key", pa.int64()),
     ("bucket", pa.int32()),
     ("pair_max_len", pa.int32()),
+    ("n_dropped_bucket", pa.int64()),
 ])
 
 
@@ -63,6 +64,14 @@ def generate_block_pairs(key_np, row_id, content_key, bands, band_id_np,
       (cross-band dedup without a shuffle);
     * blocks larger than ``cfg.max_block_size`` are salt-split into
       sub-blocks (documented recall cap for pathological hot blocks).
+
+    Returns a 5th element ``n_dropped``: the number of block-view pairs
+    sacrificed to the salt-cap in this bucket (sum of C(m,2) before minus
+    after splitting) — surfaced in pipeline metrics so capped coverage is
+    never silent.  Because the salt is deliberately band-INdependent (so a
+    pair co-located in one band's sub-block is co-located in every band's),
+    a distinct dropped pair is counted once per shared band: the metric is
+    an upper bound on distinct lost pairs (exact when bands = 1).
     """
     n = key_np.shape[0]
     order = np.lexsort((content_key, key_np))
@@ -92,6 +101,7 @@ def generate_block_pairs(key_np, row_id, content_key, bands, band_id_np,
     rep_pos = np.nonzero(new_run)[0]
     rep_block = np.cumsum(new_block)[rep_pos] - 1       # block id per rep
     sizes = np.bincount(rep_block)
+    orig_pairs = int((sizes * (sizes - 1) // 2).sum())
     big = sizes > cfg.max_block_size
     if big.any():
         # salt-split oversized blocks: re-key each rep of a big block by a
@@ -111,6 +121,7 @@ def generate_block_pairs(key_np, row_id, content_key, bands, band_id_np,
         sub2 = sub[o2]
         seg_new = np.r_[True, (rb2[1:] != rb2[:-1]) | (sub2[1:] != sub2[:-1])]
         sizes = np.diff(np.r_[np.nonzero(seg_new)[0], rep_pos.shape[0]])
+    n_dropped = orig_pairs - int((sizes * (sizes - 1) // 2).sum())
     ia_l, ib_l = _pairs_within_segments(sizes)
     if ia_l.size:
         pa_pos, pb_pos = rep_pos[ia_l], rep_pos[ib_l]
@@ -127,9 +138,9 @@ def generate_block_pairs(key_np, row_id, content_key, bands, band_id_np,
 
     if not out_ia:
         z = np.zeros(0, dtype=np.int64)
-        return z, z, np.zeros(0, dtype=bool), z
+        return z, z, np.zeros(0, dtype=bool), z, n_dropped
     return (np.concatenate(out_ia), np.concatenate(out_ib),
-            np.concatenate(out_exact), np.concatenate(out_key))
+            np.concatenate(out_exact), np.concatenate(out_key), n_dropped)
 
 
 class PairGen:
@@ -153,12 +164,16 @@ class PairGen:
             axis=1)
         bucket_val = int(group.column("bucket")[0].as_py())
 
-        ia, ib, exact, bkeys = generate_block_pairs(
+        ia, ib, exact, bkeys, n_dropped = generate_block_pairs(
             key_np, row_id, content_key, bands, band_id_np, cfg)
         if ia.size == 0:
             return PAIRGEN_SCHEMA.empty_table()
         id_a, id_b = row_id[ia], row_id[ib]
         swap = id_a > id_b
+        # the bucket's salt-cap dropped-pair count rides on the FIRST row so
+        # a plain Sum over the column yields the exact pipeline-wide total
+        dropped_col = np.zeros(ia.shape[0], dtype=np.int64)
+        dropped_col[0] = n_dropped
         return pa.table({
             "id_a": pa.array(np.where(swap, id_b, id_a), pa.int64()),
             "id_b": pa.array(np.where(swap, id_a, id_b), pa.int64()),
@@ -167,4 +182,5 @@ class PairGen:
             "bucket": pa.array(np.full(ia.shape[0], bucket_val, dtype=np.int32), pa.int32()),
             "pair_max_len": pa.array(
                 np.maximum(n_tokens[ia], n_tokens[ib]).astype(np.int32), pa.int32()),
+            "n_dropped_bucket": pa.array(dropped_col, pa.int64()),
         })

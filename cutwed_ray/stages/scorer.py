@@ -42,6 +42,7 @@ PAIR_SCHEMA = pa.schema([
     ("exact", pa.bool_()),
     ("block_key", pa.int64()),
     ("bucket", pa.int32()),
+    ("n_dropped_bucket", pa.int64()),
 ])
 
 
@@ -98,7 +99,7 @@ class ScoreBucket:
         content_key = hash_string_array(group.column("sha256"))
         bucket_val = int(group.column("bucket")[0].as_py())
 
-        ia, ib, exact, bkeys = generate_block_pairs(
+        ia, ib, exact, bkeys, n_dropped = generate_block_pairs(
             key_np, row_id, content_key, bands, band_id_np, cfg)
         if ia.size == 0:
             return _empty_pairs()
@@ -143,4 +144,7 @@ class ScoreBucket:
             "exact": pa.array(exact, pa.bool_()),
             "block_key": pa.array(bkeys, pa.int64()),
             "bucket": pa.array(np.full(ia.shape[0], bucket_val, dtype=np.int32), pa.int32()),
+            "n_dropped_bucket": pa.array(
+                np.r_[np.int64(n_dropped), np.zeros(ia.shape[0] - 1, dtype=np.int64)],
+                pa.int64()),
         })

@@ -66,7 +66,8 @@ def _compare(name, q, sql, con):
 SQL_CHECKED = ["exact_dedup", "exact_cluster", "block_counts", "token_counts",
                "text_quality", "lang_doc_stats", "top_docs_by_chars",
                "lineitem_pricing", "orders_by_segment", "supplier_region_revenue",
-               "events_hourly", "events_type_stats", "knn_bruteforce"]
+               "events_hourly", "events_type_stats", "events_sessions",
+               "knn_bruteforce"]
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
