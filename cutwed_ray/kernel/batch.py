@@ -96,9 +96,9 @@ def _sweep(
     if A.shape[2] != B.shape[2]:
         raise ValueError("dimension mismatch between A and B pools")
 
-    # compiled fast path (dim==1, float64) — same semantics, ~5-8x faster;
+    # compiled fast path (float64, any dim) — same semantics, ~5-12x faster;
     # falls through to the NumPy sweep when no compiler is available
-    if A.shape[2] == 1 and dtype == np.float64 and P > 0:
+    if dtype == np.float64 and P > 0:
         from cutwed_ray.kernel.ckernel import twed_pairs_c
 
         res_c = twed_pairs_c(A, TA, la, B, TB, lb, ia, ib, nu, lamb, degree)

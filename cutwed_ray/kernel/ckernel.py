@@ -122,6 +122,80 @@ void twed_pairs_pool(const double* XA, const double* TXA, const int64_t* la,
                           nu, lamb, deg, root, rowbuf, dbc);
     }
 }
+
+/* ---- R^dim variant (semantics of src/cuTWED_core.h lpnorm + twed.c) ---- */
+static inline double lpd(const double* x, const double* y, int dim, int deg, int root) {
+    double s = 0.0;
+    for (int d = 0; d < dim; d++) {
+        double a = fabs(x[d] - (y ? y[d] : 0.0));
+        s += (deg == 2) ? a * a : pow(a, (double)deg);
+    }
+    if (!root) return s;
+    if (deg == 2) return sqrt(s);
+    return pow(s, 1.0 / (double)deg);
+}
+
+static double twed_one_nd(const double* A, const double* TA, int64_t la,
+                          const double* B, const double* TB, int64_t lb,
+                          int dim, double nu, double lamb, int deg, int root,
+                          double* rowbuf, double* dbc) {
+    if (la == 0 && lb == 0) return 0.0;
+    double* prev = rowbuf;
+    double* curr = rowbuf + (lb + 1);
+
+    for (int64_t j = 1; j <= lb; j++) {
+        double dbj = (j > 1) ? lpd(B + (j-1)*dim, B + (j-2)*dim, dim, deg, root)
+                             : lpd(B, 0, dim, deg, root);
+        double dtb = (j > 1) ? (TB[j-1] - TB[j-2]) : TB[0];
+        dbc[j] = dbj + lamb + nu * dtb;
+    }
+
+    prev[0] = 0.0;
+    for (int64_t j = 1; j <= lb; j++) prev[j] = HUGE_SENTINEL;
+
+    for (int64_t i = 1; i <= la; i++) {
+        curr[0] = HUGE_SENTINEL;
+        const double* ai1 = A + (i-1)*dim;
+        const double tai1 = TA[i-1];
+        const double dai = (i > 1) ? lpd(ai1, A + (i-2)*dim, dim, deg, root)
+                                   : lpd(ai1, 0, dim, deg, root);
+        const double dta = (i > 1) ? (tai1 - TA[i-2]) : TA[0];
+        const double dac = dai + lamb + nu * dta;
+        const double* ai2 = (i > 1) ? A + (i-2)*dim : 0;
+
+        for (int64_t j = 1; j <= lb; j++) {
+            double d = lpd(ai1, B + (j-1)*dim, dim, deg, root);
+            double ht = fabs(tai1 - TB[j-1]);
+            if (i > 1 && j > 1) {
+                d += lpd(ai2, B + (j-2)*dim, dim, deg, root);
+                ht += fabs(TA[i-2] - TB[j-2]);
+            }
+            double keep = prev[j-1] + d + nu * ht;
+            double delA = dac + prev[j];
+            double delB = dbc[j] + curr[j-1];
+            double m = keep < delA ? keep : delA;
+            curr[j] = m < delB ? m : delB;
+        }
+        double* t = prev; prev = curr; curr = t;
+    }
+    double r = prev[lb];
+    return r >= HUGE_SENTINEL ? INFINITY : r;
+}
+
+void twed_pairs_pool_nd(const double* XA, const double* TXA, const int64_t* la,
+                        int64_t Ma,
+                        const double* XB, const double* TXB, const int64_t* lb,
+                        int64_t Mb, int dim,
+                        const int64_t* ia, const int64_t* ib, int64_t P,
+                        double nu, double lamb, int deg, int root,
+                        double* rowbuf, double* dbc, double* out) {
+    for (int64_t p = 0; p < P; p++) {
+        const int64_t a = ia[p], b = ib[p];
+        out[p] = twed_one_nd(XA + a * Ma * dim, TXA + a * Ma, la[a],
+                             XB + b * Mb * dim, TXB + b * Mb, lb[b],
+                             dim, nu, lamb, deg, root, rowbuf, dbc);
+    }
+}
 """
 
 
@@ -160,6 +234,14 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_int,
         d, d, d,
     ]
+    lib.twed_pairs_pool_nd.restype = None
+    lib.twed_pairs_pool_nd.argtypes = [
+        d, d, i64, ctypes.c_int64,
+        d, d, i64, ctypes.c_int64, ctypes.c_int,
+        i64, i64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        d, d, d,
+    ]
     return lib
 
 
@@ -187,17 +269,16 @@ def twed_pairs_c(
     ia: np.ndarray, ib: np.ndarray,
     nu: float, lamb: float, degree: int,
 ) -> np.ndarray | None:
-    """C fast path for dim==1 float64 pools; returns None when unavailable."""
+    """C fast path for float64 pools (any dim); returns None when unavailable."""
     lib = get_lib()
     if lib is None:
         return None
+    dim = 1
     if A.ndim == 3:
-        if A.shape[2] != 1:
-            return None
-        A = A[:, :, 0]
-    if B.ndim == 3:
-        if B.shape[2] != 1:
-            return None
+        dim = A.shape[2]
+        if dim == 1:
+            A = A[:, :, 0]
+    if B.ndim == 3 and B.shape[2] == 1:
         B = B[:, :, 0]
     A = np.ascontiguousarray(A, dtype=np.float64)
     B = np.ascontiguousarray(B, dtype=np.float64)
@@ -216,11 +297,20 @@ def twed_pairs_c(
     dbc = np.empty(Mb + 1, dtype=np.float64)
     deg = abs(int(degree))
     root = 1 if degree > 0 else 0
-    lib.twed_pairs_pool(
-        _p(A), _p(TA), _pi(la), np.int64(A.shape[1]),
-        _p(B), _p(TB), _pi(lb), np.int64(Mb),
-        _pi(ia), _pi(ib), np.int64(P),
-        float(nu), float(lamb), int(deg), int(root),
-        _p(rowbuf), _p(dbc), _p(out),
-    )
+    if dim == 1:
+        lib.twed_pairs_pool(
+            _p(A), _p(TA), _pi(la), np.int64(A.shape[1]),
+            _p(B), _p(TB), _pi(lb), np.int64(Mb),
+            _pi(ia), _pi(ib), np.int64(P),
+            float(nu), float(lamb), int(deg), int(root),
+            _p(rowbuf), _p(dbc), _p(out),
+        )
+    else:
+        lib.twed_pairs_pool_nd(
+            _p(A), _p(TA), _pi(la), np.int64(A.shape[1]),
+            _p(B), _p(TB), _pi(lb), np.int64(Mb), int(dim),
+            _pi(ia), _pi(ib), np.int64(P),
+            float(nu), float(lamb), int(deg), int(root),
+            _p(rowbuf), _p(dbc), _p(out),
+        )
     return out

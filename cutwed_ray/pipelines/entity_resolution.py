@@ -30,12 +30,14 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from cutwed_ray.config import PipelineConfig, TwedConfig
 from cutwed_ray.stages.blocking import ExplodeBands
 from cutwed_ray.stages.scorer import ScoreBucket
 from cutwed_ray.stages.tokenize import TokenizeStage
-from cutwed_ray.stages.cluster import assign_clusters, union_find_driver
+from cutwed_ray.stages.cluster import (_UF, assign_clusters, canonical_mapping,
+                                       union_find_driver)
 
 #: pipeline default TWED params for token series in [0,1) with unit-step
 #: timestamps: small nu keeps the time penalty subordinate to token costs
@@ -199,21 +201,48 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
                                 strategy=strategy).materialize()
     metrics["score_sec"] = round(time.time() - t0, 3)
 
+    # ONE streaming driver pass over the (small, materialized) pair table
+    # computes every counter AND collects the thresholded edge list —
+    # separate count()/filter()/sum() calls each cost a full executor
+    # round-trip (~0.5-1 s apiece, scale-independent)
     t1 = time.time()
-    edges = pairs.filter(expr=f"twed_norm <= {cfg.threshold}")
-    n_edges = edges.count()
+    n_pairs = n_exact = n_dropped = n_edges = 0
+    edge_a, edge_b = [], []
+    overflow = False
+    has_drop = "n_dropped_bucket" in pairs.schema().names
+    for b in pairs.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        n_pairs += len(b)
+        n_exact += int(pc.sum(b.column("exact")).as_py() or 0)
+        if has_drop:
+            n_dropped += int(pc.sum(b.column("n_dropped_bucket")).as_py() or 0)
+        mask = pc.less_equal(b.column("twed_norm"), cfg.threshold)
+        eb = b.filter(mask)
+        n_edges += len(eb)
+        if not overflow:
+            edge_a.append(eb.column("id_a").to_numpy())
+            edge_b.append(eb.column("id_b").to_numpy())
+            if n_edges > cfg.max_driver_edges:
+                overflow = True
+                edge_a, edge_b = [], []
     metrics["n_edges"] = n_edges
-    if n_edges > cfg.max_driver_edges:
-        # scale path: distributed label propagation
+
+    if overflow:
+        # scale path: distributed label propagation over the edge Dataset
         from cutwed_ray.stages.cluster import label_propagation
 
+        edges = pairs.filter(expr=f"twed_norm <= {cfg.threshold}")
         labels = label_propagation(edges)
         mapping = {
             int(r["node"]): int(r["label"])
             for r in labels.iter_rows()
         }
     else:
-        mapping = union_find_driver(edges)
+        uf = _UF()
+        if edge_a:
+            for a, b in zip(np.concatenate(edge_a).tolist(),
+                            np.concatenate(edge_b).tolist()):
+                uf.union(a, b)
+        mapping = canonical_mapping(uf)
     metrics["cluster_sec"] = round(time.time() - t1, 3)
 
     # label the original rows (light id stage — no re-tokenization)
@@ -222,12 +251,12 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
     with_ids = ds_files.map_batches(AddIdsStage(), batch_format="pyarrow")
     clustered = assign_clusters(with_ids, mapping)
 
-    metrics["n_pairs_scored"] = pairs.count()
-    metrics["n_exact_pairs"] = pairs.filter(expr="exact == True").count()
-    if "n_dropped_bucket" in pairs.schema().names:
+    metrics["n_pairs_scored"] = n_pairs
+    metrics["n_exact_pairs"] = n_exact
+    if has_drop:
         # pairs sacrificed to the oversized-block salt cap (upper bound on
         # distinct pairs — see stages/pairgen.generate_block_pairs docstring)
-        metrics["n_dropped_pairs"] = int(pairs.sum("n_dropped_bucket") or 0)
+        metrics["n_dropped_pairs"] = n_dropped
     metrics["n_cluster_merges"] = len(mapping)
     metrics["wall_sec"] = round(time.time() - t0, 3)
 

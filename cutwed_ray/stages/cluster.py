@@ -46,6 +46,20 @@ class _UF:
         self.parent[rb] = ra
 
 
+def canonical_mapping(uf: _UF) -> dict[int, int]:
+    """{node: cluster_id} with cluster_id = min node id of the component."""
+    out: dict[int, int] = {}
+    members: dict[int, list[int]] = {}
+    for x in list(uf.parent.keys()):
+        members.setdefault(uf.find(x), []).append(x)
+    for root, ms in members.items():
+        cid = min(min(ms), root)
+        out[root] = cid
+        for m in ms:
+            out[m] = cid
+    return out
+
+
 def union_find_driver(edges_ds) -> dict[int, int]:
     """Collect (id_a, id_b) edge batches and union-find on the driver.
 
@@ -61,17 +75,7 @@ def union_find_driver(edges_ds) -> dict[int, int]:
         b = batch.column("id_b").to_numpy()
         for x, y in zip(a.tolist(), b.tolist()):
             uf.union(x, y)
-    # canonicalize: root = min element of component
-    out: dict[int, int] = {}
-    members: dict[int, list[int]] = {}
-    for x in list(uf.parent.keys()):
-        members.setdefault(uf.find(x), []).append(x)
-    for root, ms in members.items():
-        cid = min(min(ms), root)
-        out[root] = cid
-        for m in ms:
-            out[m] = cid
-    return out
+    return canonical_mapping(uf)
 
 
 def assign_clusters(ds, mapping: dict[int, int], id_col: str = "row_id"):
