@@ -36,8 +36,7 @@ from cutwed_ray.config import PipelineConfig, TwedConfig
 from cutwed_ray.stages.blocking import ExplodeBands
 from cutwed_ray.stages.scorer import ScoreBucket
 from cutwed_ray.stages.tokenize import TokenizeStage
-from cutwed_ray.stages.cluster import (_UF, assign_clusters, canonical_mapping,
-                                       union_find_driver)
+from cutwed_ray.stages.cluster import assign_clusters
 
 #: pipeline default TWED params for token series in [0,1) with unit-step
 #: timestamps: small nu keeps the time penalty subordinate to token costs
@@ -173,7 +172,8 @@ def _score_pairs_broadcast(ds_files, cfg: PipelineConfig, n_buckets: int,
 
     cand = light.groupby("bucket").map_groups(
         gen_pairs, batch_format="pyarrow").materialize()
-    cand = cand.repartition(max(4 * cpus, 8)).materialize()
+    if cand.num_blocks() < pool:
+        cand = cand.repartition(max(4 * cpus, 8)).materialize()
     scored = cand.map_batches(
         TwedScorerBroadcast, fn_constructor_args=(store_ref, cfg),
         batch_format="pyarrow", batch_size=4 * cfg.score_batch_pairs,
@@ -237,12 +237,11 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
             for r in labels.iter_rows()
         }
     else:
-        uf = _UF()
-        if edge_a:
-            for a, b in zip(np.concatenate(edge_a).tolist(),
-                            np.concatenate(edge_b).tolist()):
-                uf.union(a, b)
-        mapping = canonical_mapping(uf)
+        from cutwed_ray.stages.cluster import connected_components_arrays
+
+        mapping = connected_components_arrays(
+            np.concatenate(edge_a) if edge_a else np.zeros(0, dtype=np.int64),
+            np.concatenate(edge_b) if edge_b else np.zeros(0, dtype=np.int64))
     metrics["cluster_sec"] = round(time.time() - t1, 3)
 
     # label the original rows (light id stage — no re-tokenization)

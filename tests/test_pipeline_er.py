@@ -89,6 +89,19 @@ class TestClusteringParity:
               for r in label_propagation(edges, num_partitions=4).iter_rows()}
         assert lp == uf
 
+    def test_numpy_cc_matches_union_find(self, er_result):
+        import pandas as pd
+
+        from cutwed_ray.stages.cluster import connected_components_arrays, union_find_driver
+
+        res, files, truth, cfg = er_result
+        edges = res.pairs.filter(expr=f"twed_norm <= {cfg.threshold}")
+        uf = union_find_driver(edges)
+        df = edges.select_columns(["id_a", "id_b"]).to_pandas()
+        cc = connected_components_arrays(df.id_a.to_numpy(np.int64),
+                                         df.id_b.to_numpy(np.int64))
+        assert cc == uf
+
 
 class TestCheckpointResume:
     def test_resume_skips_completed_shards(self, ray_session, corpus, tmp_path):
