@@ -58,6 +58,9 @@ class PipelineConfig:
     scorer_concurrency: int = 8           # actor pool size
     dtype: str = "float64"
 
+    # --- linkage ---
+    link_mode: bool = False               # True: only cross-dataset (side-bit) pairs
+
     # --- clustering ---
     threshold: float = 0.35               # on length-normalized TWED: twed / (n_a + n_b)
     max_driver_edges: int = 5_000_000     # above this, use distributed label propagation

@@ -181,6 +181,41 @@ def _score_pairs_broadcast(ds_files, cfg: PipelineConfig, n_buckets: int,
     return scored.drop_columns(["pair_max_len"])
 
 
+def link_er(ds_a, ds_b, cfg: PipelineConfig | None = None, n_buckets: int = 64,
+            strategy: str = "carry"):
+    """Record LINKAGE between two file tables (SURVEY.md §2.5 rectangular
+    A x B product, done blocked instead of dense).
+
+    Both sides go through the same blocking; candidate pairs are restricted
+    to cross-dataset pairs *before* scoring (the side is encoded in the
+    row_id's lowest bit, so no lookup/join is needed anywhere).  Returns the
+    scored cross-pair Dataset with ``side_a``/``side_b`` columns
+    (id_a's side / id_b's side; always different).
+    """
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg or default_config(), link_mode=True)
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__side__", pa.array(np.full(len(t), side, dtype=np.int8), pa.int8()))
+        return f
+
+    ds = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow"))
+    with _hash_shuffle():
+        pairs = score_pairs(ds, cfg, n_buckets, strategy=strategy).materialize()
+
+    def sides(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy() & 1
+        b = t.column("id_b").to_numpy() & 1
+        out = t.append_column("side_a", pa.array(a.astype(np.int8), pa.int8()))
+        return out.append_column("side_b", pa.array(b.astype(np.int8), pa.int8()))
+
+    return pairs.map_batches(sides, batch_format="pyarrow")
+
+
 def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
            n_shards: int = 8, output_dir: str | None = None,
            strategy: str = "carry") -> ERResult:

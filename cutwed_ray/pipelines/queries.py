@@ -588,6 +588,31 @@ def q_er_clusters_documents(sf_dir: str):
     return res.clusters.select_columns(["path", "sha256", "cluster_id"])
 
 
+def q_link_documents(sf_dir: str):
+    """Cross-dataset record linkage demo: even-doc_id documents vs odd
+    (two 'tables'), TWED-scored cross pairs only (not SQL-expressible)."""
+    from cutwed_ray.pipelines.entity_resolution import default_config, link_er
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def to_files(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            t = t.filter(pa.array(ids % 2 == parity))
+            return pa.table({
+                "repo": pa.array(["docs"] * len(t), pa.string()),
+                "path": pc.cast(t.column("doc_id"), pa.string()),
+                "commit": pa.array([""] * len(t), pa.string()),
+                "lang": t.column("lang"),
+                "content": t.column("text"),
+            })
+        return f
+
+    a = ds.map_batches(to_files(0), batch_format="pyarrow")
+    b = ds.map_batches(to_files(1), batch_format="pyarrow")
+    return link_er(a, b, default_config(threshold=0.35), n_buckets=8)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: synthetic binary media table -> actor-pool
     decode-stub -> feature vectors (sf_dir sets the table size)."""
@@ -626,6 +651,7 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "twed_pairs_documents": q_twed_pairs_documents,
     "er_clusters_documents": q_er_clusters_documents,
+    "link_documents": q_link_documents,
     "media_features": q_media_features,
 }
 

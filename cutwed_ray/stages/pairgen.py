@@ -91,6 +91,10 @@ def generate_block_pairs(key_np, row_id, content_key, bands, band_id_np,
         mem = np.nonzero(members)[0]
         first_band = band_id_np[order[mem]] == 0
         mem = mem[first_band]
+        if mem.size and cfg.link_mode:
+            rep_ids = row_id[order[run_start_pos[mem]]]
+            mem_ids = row_id[order[mem]]
+            mem = mem[((rep_ids ^ mem_ids) & 1) == 1]
         if mem.size:
             out_ia.append(order[run_start_pos[mem]])
             out_ib.append(order[mem])
@@ -130,6 +134,8 @@ def generate_block_pairs(key_np, row_id, content_key, bands, band_id_np,
         band_id = band_id_np[ia]
         eq = bands[ia] == bands[ib]
         keep = eq.argmax(axis=1) == band_id
+        if cfg.link_mode:
+            keep &= ((row_id[ia] ^ row_id[ib]) & 1) == 1
         if keep.any():
             out_ia.append(ia[keep])
             out_ib.append(ib[keep])

@@ -120,6 +120,16 @@ def tokenize_content(content, max_tokens: int) -> tuple[np.ndarray, np.ndarray]:
     return th, offsets
 
 
+def _apply_side_bit(rid: np.ndarray, batch: pa.Table) -> np.ndarray:
+    """Record-linkage support: when a ``__side__`` column (0/1) is present,
+    encode it in the row_id's lowest bit so cross-dataset pairs are
+    recognizable anywhere from the ids alone (no lookup, no join)."""
+    if "__side__" in batch.column_names:
+        side = batch.column("__side__").to_numpy().astype(np.uint64)
+        rid = (rid & ~np.uint64(1)) | (side & np.uint64(1))
+    return rid
+
+
 class AddIdsStage:
     """Light map_batches stage: append only row_id + sha256 (no tokenization).
 
@@ -141,6 +151,7 @@ class AddIdsStage:
         for c in self.id_cols:
             if c in batch.column_names:
                 rid = splitmix64(rid ^ hash_string_array(batch.column(c)))
+        rid = _apply_side_bit(rid, batch)
         out = batch.append_column("sha256", pa.array(sha, pa.string()))
         return out.append_column("row_id", pa.array(rid.view(np.int64), pa.int64()))
 
@@ -171,6 +182,7 @@ class TokenizeStage:
         for c in self.id_cols:
             if c in batch.column_names:
                 rid = splitmix64(rid ^ hash_string_array(batch.column(c)))
+        rid = _apply_side_bit(rid, batch)
 
         th, offsets = tokenize_content(content, cfg.max_tokens)
         values = hashes_to_unit_floats(th)

@@ -1,0 +1,64 @@
+"""Cross-dataset record linkage (SURVEY §2.5 rectangular A x B product)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cutwed_ray.corpus import generate_corpus
+from cutwed_ray.pipelines.entity_resolution import default_config, link_er
+
+
+@pytest.fixture(scope="module")
+def two_sides():
+    """Side A = base corpus; side B = same entities re-rendered with edits
+    (distinct paths so ids differ), plus extra unrelated rows."""
+    rng = np.random.RandomState(23)
+    files, truth = generate_corpus(600, seed=23)
+    # side B: copy of side A rows with a token substituted and new paths
+    texts = files.column("content").to_pylist()
+    b_texts = []
+    for t in texts:
+        toks = t.split()
+        toks[rng.randint(0, len(toks))] = "zz9"
+        b_texts.append(" ".join(toks))
+    b = pa.table({
+        "repo": files.column("repo"),
+        "path": pa.array([f"B/{p}" for p in files.column("path").to_pylist()],
+                         pa.string()),
+        "commit": files.column("commit"),
+        "lang": files.column("lang"),
+        "content": pa.array(b_texts, pa.string()),
+    })
+    return files, b, truth
+
+
+def test_link_er_cross_only(ray_session, two_sides):
+    import ray.data as rd
+
+    a, b, truth = two_sides
+    cfg = default_config(threshold=0.25)
+    pairs = link_er(rd.from_arrow(a), rd.from_arrow(b), cfg, n_buckets=8)
+    df = pairs.to_pandas()
+    assert len(df) > 0
+    # every pair crosses datasets
+    assert ((df.side_a != df.side_b)).all()
+    assert (((df.id_a.to_numpy() ^ df.id_b.to_numpy()) & 1) == 1).all()
+    # most A rows find their B counterpart below threshold
+    matched = df[df.twed_norm <= cfg.threshold]
+    assert len(matched) >= 0.8 * a.num_rows
+
+
+def test_link_er_strategies_agree(ray_session, two_sides):
+    import ray.data as rd
+
+    a, b, truth = two_sides
+    cfg = default_config(threshold=0.25)
+    p1 = link_er(rd.from_arrow(a), rd.from_arrow(b), cfg, n_buckets=8,
+                 strategy="carry").to_pandas()
+    p2 = link_er(rd.from_arrow(a), rd.from_arrow(b), cfg, n_buckets=8,
+                 strategy="broadcast").to_pandas()
+    k1 = p1.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    k2 = p2[k1.columns].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(k1) == len(k2)
+    assert (k1.id_a.values == k2.id_a.values).all()
+    assert np.allclose(k1.twed.values, k2.twed.values)

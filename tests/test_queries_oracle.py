@@ -79,7 +79,7 @@ def test_oracle_parity(contract, oracle_con, name):
 
 ROWS_ONLY = ["minhash_near_dup", "simhash_near_dup", "embedding_near_dup",
              "langid", "fingerprint", "knn_lsh", "twed_pairs_documents",
-             "er_clusters_documents", "media_features"]
+             "er_clusters_documents", "link_documents", "media_features"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
