@@ -342,6 +342,58 @@ GROUP BY r.r_name
 """
 
 
+def q_orders_topk_per_cust(sf_dir: str):
+    """Window-function shape: top-3 orders by price per customer
+    (per-group sort + head inside map_groups; deterministic tie-break)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["price_cents"] = np.floor(g.o_totalprice * 100 + 0.5).astype(np.int64)
+        g = g.sort_values(["price_cents", "o_orderkey"],
+                          ascending=[False, True]).head(3)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_custkey", "o_orderkey", "price_cents", "rk"]]
+
+    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+
+
+SQL_ORDERS_TOPK = """
+SELECT o_custkey, o_orderkey,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                                        o_orderkey ASC) AS BIGINT) AS rk
+FROM orders
+QUALIFY rk <= 3
+"""
+
+
+def q_event_type_users(sf_dir: str):
+    """Distinct-count aggregate: unique users per event_type (partial
+    per-batch sets merged through a groupby — the mergeable-sketch shape)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dedup = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "user_id"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+    def count_users(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": [g.event_type.iloc[0]],
+                             "n_users": np.array([g.user_id.nunique()], dtype=np.int64)})
+
+    return dedup.groupby("event_type").map_groups(count_users, batch_format="pandas")
+
+
+SQL_EVENT_TYPE_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+"""
+
+
 # -------------------------------------------------------------------- events
 def q_events_hourly(sf_dir: str):
     """Tumbling 1-hour event-time windows per user (streaming-shaped op:
@@ -637,6 +689,8 @@ QUERIES = {
     "top_docs_by_chars": q_top_docs_by_chars,
     "lineitem_pricing": q_lineitem_pricing,
     "orders_by_segment": q_orders_by_segment,
+    "orders_topk_per_cust": q_orders_topk_per_cust,
+    "event_type_users": q_event_type_users,
     "supplier_region_revenue": q_supplier_region_revenue,
     "events_hourly": q_events_hourly,
     "events_type_stats": q_events_type_stats,
@@ -665,6 +719,8 @@ ORACLE = {
     "top_docs_by_chars": SQL_TOP_DOCS,
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+    "orders_topk_per_cust": SQL_ORDERS_TOPK,
+    "event_type_users": SQL_EVENT_TYPE_USERS,
     "supplier_region_revenue": SQL_SUPPLIER_REGION_REVENUE,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
