@@ -28,44 +28,94 @@ def add_text_hash(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, pa.array(h.view(np.int64), pa.int64()))
 
 
+def _add_text_hash128(batch: pa.Table, text_col: str) -> pa.Table:
+    """Append two independent 64-bit text hashes (h1, h2): a combined
+    128-bit key whose collision probability (~2^-128) is negligible at any
+    corpus size — 'exact' dedup stays exact without shuffling raw text."""
+    col = batch.column(text_col)
+    h1 = hash_string_array(col)
+    h2 = hash_string_array(col, variant=1)
+    out = batch.append_column("h1", pa.array(h1.view(np.int64), pa.int64()))
+    return out.append_column("h2", pa.array(h2.view(np.int64), pa.int64()))
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """One representative row (min id) per distinct text + duplicate count.
 
-    hash-partition + per-group-first: the shuffle key is the 64-bit text
-    hash, not the text itself.  Returns columns: text_col, id_col (min),
-    n_dups.
+    Fully vectorized (no per-group callables): per-batch pandas combiner
+    collapses duplicates early, then a global groupby on (h1, h2, text)
+    with builtin Min/Sum aggregates.  The 128-bit hash leads the sort key
+    so key comparisons are integer-first; text is in the key only to keep
+    the semantics exact under (vanishingly unlikely) double-hash collisions
+    — the shuffle volume equals the output size (distinct texts) either
+    way, since text is an output column.
+    Returns columns: text_col, id_col (min), n_dups.
     """
-    import pandas as pd
+    from ray.data.aggregate import Min, Sum
 
     hashed = ds.map_batches(
-        lambda t: add_text_hash(t, text_col), batch_format="pyarrow"
+        lambda t: _add_text_hash128(t, text_col), batch_format="pyarrow"
     )
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        out = g.head(1)[[text_col, id_col]].copy()
-        out["n_dups"] = len(g)
-        return out
+    def combiner(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["h1", "h2", text_col], as_index=False).agg(
+            _min_id=(id_col, "min"), _n=(id_col, "size"))
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
-    return hashed.groupby("text_hash").map_groups(
-        first_per_group, batch_format="pandas"
-    ).select_columns([text_col, id_col, "n_dups"])
+    agg = (hashed.map_batches(combiner, batch_format="pyarrow")
+                 .groupby(["h1", "h2", text_col])
+                 .aggregate(Min("_min_id", alias_name=id_col),
+                            Sum("_n", alias_name="n_dups")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            text_col: t.column(text_col),
+            id_col: pa.array(t.column(id_col).to_numpy().astype(np.int64), pa.int64()),
+            "n_dups": pa.array(t.column("n_dups").to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def exact_cluster(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Label every row with cluster_id = min id over rows with identical text."""
-    import pandas as pd
+def exact_cluster(ds, text_col: str = "text", id_col: str = "doc_id",
+                  num_partitions: int | None = None):
+    """Label every row with cluster_id = min id over rows with identical text.
 
-    hashed = ds.map_batches(
-        lambda t: add_text_hash(t, text_col), batch_format="pyarrow"
-    )
+    Vectorized at scale: representatives (min id per distinct 128-bit text
+    key) come from builtin aggregates over a per-batch combiner, then a
+    distributed hash join labels every row — no per-distinct-text Python
+    callables and no driver materialization.
+    """
+    from ray.data.aggregate import Min
 
-    def label(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["cluster_id"] = g[id_col].min()
-        return g[[id_col, "cluster_id"]]
+    from cutwed_ray.stages.cluster import join_partitions
 
-    return hashed.groupby("text_hash").map_groups(label, batch_format="pandas")
+    num_partitions = num_partitions or join_partitions()
+
+    keyed = ds.map_batches(
+        lambda t: _add_text_hash128(t, text_col), batch_format="pyarrow"
+    ).select_columns([id_col, "h1", "h2"])
+
+    def combiner(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["h1", "h2"], as_index=False).agg(
+            _m=(id_col, "min"))
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    reps = (keyed.map_batches(combiner, batch_format="pyarrow")
+                 .groupby(["h1", "h2"])
+                 .aggregate(Min("_m", alias_name="cluster_id")))
+
+    labeled = keyed.join(reps, join_type="inner", num_partitions=num_partitions,
+                         on=("h1", "h2"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col),
+            "cluster_id": pa.array(
+                t.column("cluster_id").to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return labeled.map_batches(finish, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- MinHash + LSH

@@ -25,6 +25,13 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _pt(df: "pd.DataFrame") -> pa.Table:
+    """pandas -> Arrow with the pandas schema metadata stripped: the dict
+    metadata makes block schemas unhashable in Ray's reduce-side dedup
+    ("Failed to hash the schemas" warning spam in shuffle stages)."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
 # --------------------------------------------------------------------- dedup
 def q_exact_dedup(sf_dir: str):
     from cutwed_ray.ops.dedup import exact_dedup
@@ -136,7 +143,7 @@ def q_lang_doc_stats(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas().groupby("lang", as_index=False).agg(
             n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _pt(df)
 
     from ray.data.aggregate import Sum
 
@@ -159,7 +166,7 @@ def q_lang_doc_stats(sf_dir: str):
 
 
 SQL_LANG_DOC_STATS = """
-SELECT lang, count(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        round(SUM(n_chars)::DOUBLE / count(*), 6) AS avg_chars
 FROM documents GROUP BY lang
 """
@@ -202,7 +209,7 @@ def q_lineitem_pricing(sf_dir: str):
             sum_disc_cents=("disc_cents", "sum"),
             count_order=("qty_i", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pt(g)
 
     from ray.data.aggregate import Sum
 
@@ -232,9 +239,9 @@ def q_lineitem_pricing(sf_dir: str):
 
 SQL_LINEITEM_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sum_qty,
-       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -258,7 +265,7 @@ def q_orders_by_segment(sf_dir: str):
         df["price_cents"] = np.floor(df.o_totalprice * 100 + 0.5).astype(np.int64)
         g = df.groupby("c_mktsegment", as_index=False).agg(
             n_orders=("price_cents", "size"), revenue_cents=("price_cents", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pt(g)
 
     from ray.data.aggregate import Sum
 
@@ -281,7 +288,7 @@ def q_orders_by_segment(sf_dir: str):
 
 SQL_ORDERS_BY_SEGMENT = """
 SELECT c.c_mktsegment, count(*) AS n_orders,
-       SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """
@@ -309,7 +316,7 @@ def q_supplier_region_revenue(sf_dir: str):
             df.l_extendedprice * (1 - df.l_discount) * 100 + 0.5).astype(np.int64)
         g = df.groupby("r_name", as_index=False).agg(revenue_cents=("rev_cents", "sum"),
                                                      n_items=("rev_cents", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pt(g)
 
     from ray.data.aggregate import Sum
 
@@ -332,7 +339,7 @@ def q_supplier_region_revenue(sf_dir: str):
 
 SQL_SUPPLIER_REGION_REVENUE = """
 SELECT r.r_name,
-       SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_items
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -370,23 +377,40 @@ QUALIFY rk <= 3
 
 
 def q_event_type_users(sf_dir: str):
-    """Distinct-count aggregate: unique users per event_type (partial
-    per-batch sets merged through a groupby — the mergeable-sketch shape)."""
+    """Distinct-count aggregate: unique users per event_type.
+
+    Fully vectorized (no per-group callables — one pandas call per distinct
+    (type, user) pair is a micro-group scale-killer): per-batch
+    drop_duplicates -> groupby aggregate Count() collapses each distinct
+    pair to one row -> per-batch partial counts per type -> tiny Sum."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
+    from ray.data.aggregate import Count, Sum
+
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _pt(t.to_pandas().drop_duplicates())
 
-    dedup = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        ["event_type", "user_id"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    distinct = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["event_type", "user_id"])
+                  .aggregate(Count(alias_name="_c")))
 
-    def count_users(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"event_type": [g.event_type.iloc[0]],
-                             "n_users": np.array([g.user_id.nunique()], dtype=np.int64)})
+    def count_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("event_type", as_index=False).agg(
+            n_part=("user_id", "size"))
+        return _pt(df)
 
-    return dedup.groupby("event_type").map_groups(count_users, batch_format="pandas")
+    agg = (distinct.map_batches(count_partial, batch_format="pyarrow")
+                   .groupby("event_type")
+                   .aggregate(Sum("n_part", alias_name="n_users")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n_users": pa.array(t.column("n_users").to_numpy().astype(np.int64),
+                                pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_EVENT_TYPE_USERS = """
@@ -406,7 +430,7 @@ def q_events_hourly(sf_dir: str):
         df["value_u"] = np.floor(df.value * 1e6 + 0.5).astype(np.int64)
         g = df.groupby(["user_id", "hour"], as_index=False).agg(
             n_events=("value_u", "size"), sum_value_u=("value_u", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pt(g)
 
     from ray.data.aggregate import Sum
 
@@ -418,7 +442,8 @@ def q_events_hourly(sf_dir: str):
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
             "user_id": t.column("user_id"),
-            "hour": t.column("hour"),
+            # DuckDB date_trunc emits timestamp[us]; pandas dt.floor gives ns
+            "hour": pc.cast(t.column("hour"), pa.timestamp("us")),
             "n_events": pa.array(t.column("n_events").to_numpy().astype(np.int64),
                                  pa.int64()),
             "sum_value_u": pa.array(
@@ -430,7 +455,7 @@ def q_events_hourly(sf_dir: str):
 
 SQL_EVENTS_HOURLY = """
 SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
-       SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS sum_value_u
+       CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_u
 FROM events GROUP BY 1, 2
 """
 
@@ -444,7 +469,7 @@ def q_events_type_stats(sf_dir: str):
         g = df.groupby("event_type", as_index=False).agg(
             n=("value_u", "size"), sum_value_u=("value_u", "sum"),
             max_value=("value", "max"), min_value=("value", "min"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pt(g)
 
     from ray.data.aggregate import Max, Min, Sum
 
@@ -470,7 +495,7 @@ def q_events_type_stats(sf_dir: str):
 
 SQL_EVENTS_TYPE_STATS = """
 SELECT event_type, count(*) AS n,
-       SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS sum_value_u,
+       CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_u,
        MAX(value) AS max_value, MIN(value) AS min_value
 FROM events GROUP BY event_type
 """

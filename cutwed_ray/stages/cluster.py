@@ -133,8 +133,19 @@ def assign_clusters(ds, mapping: dict[int, int], id_col: str = "row_id"):
     return ds.map_batches(label, batch_format="pyarrow")
 
 
+def join_partitions(cap: int = 64) -> int:
+    """Join/shuffle partition count sized to the cluster: each hash-join
+    partition is backed by an aggregator ACTOR holding 1 CPU, so asking for
+    more partitions than CPUs deadlocks small clusters (measured: a
+    num_partitions=32 join never starts on a 4-CPU session)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, min(cap, cpus))
+
+
 # ------------------------------------------------------- distributed labels
-def label_propagation(edges_ds, num_partitions: int = 32, max_rounds: int = 12):
+def label_propagation(edges_ds, num_partitions: int | None = None, max_rounds: int = 12):
     """Distributed connected components over the edge Dataset.
 
     Returns a Dataset (node uint64, label uint64) covering every node that
@@ -144,6 +155,8 @@ def label_propagation(edges_ds, num_partitions: int = 32, max_rounds: int = 12):
     early-exit convergence check on sum(labels).
     """
     import pyarrow.compute as pc
+
+    num_partitions = num_partitions or join_partitions()
 
     def to_directed(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").to_numpy()

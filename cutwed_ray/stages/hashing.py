@@ -17,6 +17,11 @@ import numpy as np
 
 _P = np.uint64(1099511628211)               # FNV prime (odd => invertible mod 2^64)
 _PINV = np.uint64(pow(1099511628211, -1, 1 << 64))
+#: second independent base for 128-bit keying (exact-dedup collision safety):
+#: a different odd multiplier makes simultaneous collisions of both
+#: polynomial hashes ~2^-128 — effectively exact
+_P2 = np.uint64(0x100000001B3 * 0x10001 | 1)
+_P2INV = np.uint64(pow(int(_P2), -1, 1 << 64))
 
 _M1 = np.uint64(0xBF58476D1CE4E5B9)
 _M2 = np.uint64(0x94D049BB133111EB)
@@ -33,28 +38,32 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def hash_flat_strings(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+def hash_flat_strings(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                      variant: int = 0) -> np.ndarray:
     """Hash N strings packed in one uint8 buffer.
 
     data   : (nbytes,) uint8 — concatenated string bytes
     starts : (N,) int64 byte offsets (inclusive)
     ends   : (N,) int64 byte offsets (exclusive)
+    variant: 0 (default) or 1 — two independent polynomial bases; combining
+             both gives an effectively-128-bit key.
     Returns (N,) uint64 hashes (mixed).  Empty strings hash to a constant.
     """
+    p, pinv = (_P, _PINV) if variant == 0 else (_P2, _P2INV)
     n = data.shape[0]
     if n == 0:
         return splitmix64(np.zeros(starts.shape[0], dtype=np.uint64))
     b = data.astype(np.uint64) + np.uint64(1)
     pinv_pows = np.empty(n, dtype=np.uint64)
     pinv_pows[0] = np.uint64(1)
-    np.multiply.accumulate(np.full(n - 1, _PINV, dtype=np.uint64), out=pinv_pows[1:])
+    np.multiply.accumulate(np.full(n - 1, pinv, dtype=np.uint64), out=pinv_pows[1:])
     # pinv_pows[j] = pinv^j ;  g_j = (b_j+1) * pinv^j ;  S = exclusive prefix sum
     g = b * pinv_pows
     S = np.zeros(n + 1, dtype=np.uint64)
     np.cumsum(g, out=S[1:])
     p_pows = np.empty(n + 1, dtype=np.uint64)
     p_pows[0] = np.uint64(1)
-    np.multiply.accumulate(np.full(n, _P, dtype=np.uint64), out=p_pows[1:])
+    np.multiply.accumulate(np.full(n, p, dtype=np.uint64), out=p_pows[1:])
 
     starts = np.asarray(starts, dtype=np.int64)
     ends = np.asarray(ends, dtype=np.int64)
@@ -63,7 +72,7 @@ def hash_flat_strings(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) ->
     return splitmix64(h)
 
 
-def hash_string_array(arr) -> np.ndarray:
+def hash_string_array(arr, variant: int = 0) -> np.ndarray:
     """Hash a pyarrow StringArray (or ChunkedArray) to (N,) uint64, vectorized."""
     import pyarrow as pa
 
@@ -76,7 +85,7 @@ def hash_string_array(arr) -> np.ndarray:
     bufs = arr.buffers()
     offsets = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
-    return hash_flat_strings(data, offsets[:-1], offsets[1:])
+    return hash_flat_strings(data, offsets[:-1], offsets[1:], variant=variant)
 
 
 def hashes_to_unit_floats(h: np.ndarray) -> np.ndarray:
