@@ -57,6 +57,9 @@ class PipelineConfig:
     score_batch_pairs: int = 512          # candidate pairs per scorer batch
     scorer_concurrency: int = 8           # actor pool size
     dtype: str = "float64"
+    # broadcast-strategy byte budget for the token store; None = 25% of the
+    # object store. Above it the pipeline auto-falls-back to "carry".
+    broadcast_store_max_bytes: int | None = None
 
     # --- linkage ---
     link_mode: bool = False               # True: only cross-dataset (side-bit) pairs

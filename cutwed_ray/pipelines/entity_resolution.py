@@ -106,6 +106,11 @@ def tokenize(ds, cfg: PipelineConfig):
     return ds.map_batches(TokenizeStage(cfg), batch_format="pyarrow")
 
 
+#: strategy actually used by the last ``score_pairs`` call on this driver
+#: ("carry" | "broadcast") — observability for the budget auto-fallback
+LAST_SCORE_STRATEGY: str | None = None
+
+
 def score_pairs(ds_files, cfg: PipelineConfig, n_buckets: int = 64,
                 scorer_concurrency: int | None = None,
                 strategy: str = "carry"):
@@ -116,20 +121,29 @@ def score_pairs(ds_files, cfg: PipelineConfig, n_buckets: int = 64,
     * ``"carry"`` (default, unbounded scale): token lists ride through the
       blocking shuffle; each bucket task generates AND scores its pairs.
     * ``"broadcast"`` (small-side store): tokens are collected into one
-      flat store, ``ray.put`` once, and mapped zero-copy from plasma by a
-      ``map_batches`` scorer actor pool; the shuffle moves only light band
-      rows (~25x fewer bytes).  Use when the tokenized corpus fits the
-      object store — the measured bench-scale speedup is ~2x and scaling
-      efficiency improves because the shuffle stops being the bottleneck.
+      flat store in plasma and mapped zero-copy by a ``map_batches`` scorer
+      actor pool; the shuffle moves only light band rows (~25x fewer
+      bytes).  Guarded by ``cfg.broadcast_store_max_bytes`` (default 25% of
+      the object store): above the budget the call silently falls back to
+      "carry" (see ``LAST_SCORE_STRATEGY``), so "broadcast" is safe to
+      request unconditionally.  Measured bench-scale speedup is ~2x and
+      scaling efficiency improves because the shuffle stops being the
+      bottleneck.
 
-    The scorer is an autoscaling actor pool (1, N): a FIXED pool of N would
-    eagerly reserve N CPUs and can starve the upstream read/tokenize tasks
-    on small clusters (observed deadlock with concurrency == num_cpus).
+    The carry scorer is an autoscaling actor pool (1, N): a FIXED pool of N
+    would eagerly reserve N CPUs and can starve the upstream read/tokenize
+    tasks on small clusters (observed deadlock with concurrency == num_cpus).
     """
+    global LAST_SCORE_STRATEGY
     conc = scorer_concurrency or cfg.scorer_concurrency
     if strategy == "broadcast":
         return _score_pairs_broadcast(ds_files, cfg, n_buckets, conc)
+    LAST_SCORE_STRATEGY = "carry"
     tok = tokenize(ds_files, cfg)
+    return _score_pairs_carry(tok, cfg, n_buckets, conc)
+
+
+def _score_pairs_carry(tok, cfg: PipelineConfig, n_buckets: int, conc: int):
     exploded = tok.map_batches(ExplodeBands(cfg, n_buckets), batch_format="pyarrow")
     pairs = exploded.groupby("bucket").map_groups(
         ScoreBucket,
@@ -141,15 +155,45 @@ def score_pairs(ds_files, cfg: PipelineConfig, n_buckets: int = 64,
     return pairs
 
 
+def _store_budget_bytes(cfg: PipelineConfig) -> int:
+    """Broadcast-store byte budget: explicit config, else 25% of the
+    object store (the store is one object; leaving headroom keeps the
+    shuffle + scorer outputs from spilling)."""
+    if cfg.broadcast_store_max_bytes is not None:
+        return cfg.broadcast_store_max_bytes
+    import ray
+
+    mem = ray.cluster_resources().get("object_store_memory", 4 << 30) \
+        if ray.is_initialized() else 4 << 30
+    return int(mem * 0.25)
+
+
 def _score_pairs_broadcast(ds_files, cfg: PipelineConfig, n_buckets: int,
                            conc: int):
+    global LAST_SCORE_STRATEGY
     import ray
 
     from cutwed_ray.stages.pairgen import PairGen
-    from cutwed_ray.stages.scorer_broadcast import TwedScorerBroadcast, build_token_store
+    from cutwed_ray.stages.scorer_broadcast import (
+        TwedScorerBroadcast,
+        build_token_store_async,
+    )
 
     tok = tokenize(ds_files, cfg).drop_columns(["content"]).materialize()
-    store_ref, n_rows, n_bytes = build_token_store(tok)
+
+    # byte-budget guard: tok.size_bytes() (tokens dominate; conservative
+    # over-estimate including the id/band columns) vs the budget — beyond
+    # it the store would not fit plasma comfortably, so fall back to the
+    # carry strategy, which streams at any scale
+    if tok.size_bytes() > _store_budget_bytes(cfg):
+        LAST_SCORE_STRATEGY = "carry"
+        return _score_pairs_carry(tok, cfg, n_buckets, conc)
+    LAST_SCORE_STRATEGY = "broadcast"
+
+    # launched FIRST, awaited only by the scorer actors' __init__: the
+    # remote-task concat overlaps with the candidate-generation stage below
+    # (was: a serial driver-side concat + ray.put on the critical path)
+    store_ref = build_token_store_async(tok)
 
     # fixed-size pools (autoscaling-from-1 ramps too slowly and leaves most
     # of the cluster idle for the first half of the stage); sized under the
@@ -261,29 +305,30 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
                 edge_a, edge_b = [], []
     metrics["n_edges"] = n_edges
 
+    # label the original rows (light id stage — no re-tokenization)
+    from cutwed_ray.stages.tokenize import AddIdsStage
+
+    with_ids = ds_files.map_batches(AddIdsStage(), batch_format="pyarrow")
+
     if overflow:
-        # scale path: distributed label propagation over the edge Dataset
-        from cutwed_ray.stages.cluster import label_propagation
+        # scale path: distributed label propagation over the edge Dataset,
+        # labels joined onto the rows distributively — the label table
+        # NEVER lands on the driver (it is O(corpus) in the worst case)
+        from cutwed_ray.stages.cluster import assign_clusters_ds, label_propagation
 
         edges = pairs.filter(expr=f"twed_norm <= {cfg.threshold}")
-        labels = label_propagation(edges)
-        mapping = {
-            int(r["node"]): int(r["label"])
-            for r in labels.iter_rows()
-        }
+        labels = label_propagation(edges).materialize()
+        clustered = assign_clusters_ds(with_ids, labels)
+        n_merges = labels.count()
     else:
         from cutwed_ray.stages.cluster import connected_components_arrays
 
         mapping = connected_components_arrays(
             np.concatenate(edge_a) if edge_a else np.zeros(0, dtype=np.int64),
             np.concatenate(edge_b) if edge_b else np.zeros(0, dtype=np.int64))
+        clustered = assign_clusters(with_ids, mapping)
+        n_merges = len(mapping)
     metrics["cluster_sec"] = round(time.time() - t1, 3)
-
-    # label the original rows (light id stage — no re-tokenization)
-    from cutwed_ray.stages.tokenize import AddIdsStage
-
-    with_ids = ds_files.map_batches(AddIdsStage(), batch_format="pyarrow")
-    clustered = assign_clusters(with_ids, mapping)
 
     metrics["n_pairs_scored"] = n_pairs
     metrics["n_exact_pairs"] = n_exact
@@ -291,7 +336,7 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
         # pairs sacrificed to the oversized-block salt cap (upper bound on
         # distinct pairs — see stages/pairgen.generate_block_pairs docstring)
         metrics["n_dropped_pairs"] = n_dropped
-    metrics["n_cluster_merges"] = len(mapping)
+    metrics["n_cluster_merges"] = n_merges
     metrics["wall_sec"] = round(time.time() - t0, 3)
 
     if output_dir:

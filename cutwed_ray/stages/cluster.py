@@ -144,6 +144,30 @@ def join_partitions(cap: int = 64) -> int:
     return max(2, min(cap, cpus))
 
 
+def assign_clusters_ds(ds, labels_ds, id_col: str = "row_id",
+                       num_partitions: int | None = None):
+    """Distributed cluster labeling for the at-scale path: left-outer join
+    the ``label_propagation`` output onto the row Dataset (no driver
+    materialization of the label table — the broadcast-dict variant
+    ``assign_clusters`` is for the small-edge path only).  Rows without a
+    label keep their own id (singleton clusters)."""
+    import pyarrow.compute as pc
+
+    num_partitions = num_partitions or join_partitions()
+    joined = ds.join(
+        labels_ds.select_columns(["node", "label"]), join_type="left_outer",
+        num_partitions=num_partitions, on=(id_col,), right_on=("node",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        lab = pc.coalesce(pc.cast(t.column("label"), pa.int64()),
+                          pc.cast(t.column(id_col), pa.int64()))
+        t = t.drop_columns([c for c in ("label", "node") if c in t.column_names])
+        return t.append_column("cluster_id", lab)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- distributed labels
 def label_propagation(edges_ds, num_partitions: int | None = None, max_rounds: int = 12):
     """Distributed connected components over the edge Dataset.

@@ -1,11 +1,15 @@
 """Broadcast-store TWED scorer: pairs in, scores out, tokens from plasma.
 
 The small-side-broadcast variant of the scoring stage: when the tokenized
-corpus fits the object store (bench scale; configurable cap), the flat
-token store is ``ray.put`` ONCE and every scorer actor maps it zero-copy
-from plasma in ``__init__`` — the blocking shuffle then only moves light
-band rows (ids + 64-bit keys), ~25x less than carrying token lists
-(stages/scorer.py remains the carry path for corpora beyond store size).
+corpus fits a byte budget (default 25% of the object store — the pipeline
+auto-falls-back to the carry strategy above it, see
+``entity_resolution._score_pairs_broadcast``), the flat token store is
+assembled ONCE — in a remote task, so the concat overlaps with candidate
+generation and never lands on the driver — and every scorer actor maps it
+zero-copy from plasma in ``__init__``.  The blocking shuffle then only
+moves light band rows (ids + 64-bit keys), ~25x less than carrying token
+lists (stages/scorer.py remains the carry path for corpora beyond the
+budget).
 
 This is also the closest analogue of the reference's device-resident batch
 mode (twed_batch_dev, /root/reference/src/cuTWED_core.h:504-690): "series
@@ -21,17 +25,10 @@ from cutwed_ray.config import PipelineConfig
 from cutwed_ray.stages.hashing import _ranges
 
 
-def build_token_store(tokenized_ds):
-    """Collect (row_id, tokens) into one flat broadcast object.
-
-    Returns (object_ref, n_rows, n_bytes).  Layout: row_ids sorted int64,
-    offsets int64 (S+1), values float32 — actors look ids up via
-    searchsorted (zero-copy views onto plasma).
-    """
-    import ray
-
-    tables = ray.get(list(
-        tokenized_ds.select_columns(["row_id", "tokens"]).to_arrow_refs()))
+def _assemble_store(tables) -> dict:
+    """Concat (row_id, tokens) Arrow blocks into the flat store layout:
+    row_ids sorted int64, per-row (start, len) into a float32 value buffer
+    — lookups via searchsorted, all zero-copy views once in plasma."""
     ids_l, vals_l, lens_l = [], [], []
     for t in tables:
         if t.num_rows == 0:
@@ -43,6 +40,9 @@ def build_token_store(tokenized_ds):
         off = np.asarray(tok.offsets, dtype=np.int64)
         lens_l.append(off[1:] - off[:-1])
         vals_l.append(np.asarray(tok.values, dtype=np.float32))
+    if not ids_l:                      # empty corpus: a valid empty store
+        return {"row_ids": np.zeros(0, np.int64), "starts": np.zeros(0, np.int64),
+                "lens": np.zeros(0, np.int64), "values": np.zeros(0, np.float32)}
     ids = np.concatenate(ids_l)
     lens = np.concatenate(lens_l)
     vals = np.concatenate(vals_l)
@@ -51,13 +51,42 @@ def build_token_store(tokenized_ds):
     starts = np.zeros(ids.shape[0], dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     order = np.argsort(ids, kind="stable")
-    store = {
+    return {
         "row_ids": ids[order],
         "starts": starts[order],
         "lens": lens[order].astype(np.int64),
         "values": vals,
     }
-    return ray.put(store), ids.shape[0], vals.nbytes + 3 * ids.nbytes
+
+
+def _assemble_store_from_blocks(*tables) -> dict:
+    return _assemble_store(tables)
+
+
+def build_token_store(tokenized_ds):
+    """Synchronous (driver-side) store build — small runs and tests.
+
+    Returns (object_ref, n_rows, n_bytes).
+    """
+    import ray
+
+    tables = ray.get(list(
+        tokenized_ds.select_columns(["row_id", "tokens"]).to_arrow_refs()))
+    store = _assemble_store(tables)
+    n_bytes = store["values"].nbytes + 3 * store["row_ids"].nbytes
+    return ray.put(store), store["row_ids"].shape[0], n_bytes
+
+
+def build_token_store_async(tokenized_ds):
+    """Store build as a remote TASK: the block concat runs in a worker
+    (zero driver bytes) and overlaps with whatever the driver schedules
+    next (candidate generation).  Returns an ObjectRef resolving to the
+    store dict; scorer actors ``ray.get`` it in ``__init__``."""
+    import ray
+
+    refs = list(tokenized_ds.select_columns(["row_id", "tokens"]).to_arrow_refs())
+    builder = ray.remote(num_cpus=1)(_assemble_store_from_blocks)
+    return builder.remote(*refs)
 
 
 class TwedScorerBroadcast:

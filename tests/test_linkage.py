@@ -48,6 +48,42 @@ def test_link_er_cross_only(ray_session, two_sides):
     assert len(matched) >= 0.8 * a.num_rows
 
 
+def test_broadcast_budget_fallback_bit_equal(ray_session, two_sides):
+    """With a tiny store budget the broadcast strategy must auto-fall-back
+    to carry (observable via LAST_SCORE_STRATEGY) and produce the identical
+    pair set."""
+    import ray.data as rd
+
+    from cutwed_ray.pipelines import entity_resolution as er
+
+    a, b, truth = two_sides
+    files = rd.from_arrow(a)
+    cfg = default_config(threshold=0.25)
+    p1 = er.score_pairs(files, cfg, n_buckets=8, strategy="broadcast") \
+        .to_pandas()
+    assert er.LAST_SCORE_STRATEGY == "broadcast"
+    cfg_tiny = default_config(threshold=0.25, broadcast_store_max_bytes=1)
+    p2 = er.score_pairs(files, cfg_tiny, n_buckets=8, strategy="broadcast") \
+        .to_pandas()
+    assert er.LAST_SCORE_STRATEGY == "carry"
+    k1 = p1.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    cols = [c for c in ["id_a", "id_b", "twed"] if c in p1.columns]
+    k2 = p2.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(k1) == len(k2)
+    assert (k1.id_a.values == k2.id_a.values).all()
+    assert (k1.id_b.values == k2.id_b.values).all()
+    assert np.allclose(k1.twed.values, k2.twed.values)
+
+
+def test_empty_corpus_store(ray_session):
+    """Zero-row corpus must build a valid empty store (no concat error)."""
+    from cutwed_ray.stages.scorer_broadcast import _assemble_store
+
+    store = _assemble_store([])
+    assert store["row_ids"].shape == (0,)
+    assert store["values"].shape == (0,)
+
+
 def test_link_er_strategies_agree(ray_session, two_sides):
     import ray.data as rd
 

@@ -89,6 +89,25 @@ class TestClusteringParity:
               for r in label_propagation(edges, num_partitions=4).iter_rows()}
         assert lp == uf
 
+    def test_overflow_path_matches_driver_path(self, ray_session):
+        """Forcing max_driver_edges=0 exercises the at-scale branch
+        (distributed label propagation + join-based labeling, no driver
+        materialization); its cluster partition must equal the driver
+        union-find path's."""
+        import ray.data as rd
+
+        files, _ = generate_corpus(300, seed=7)
+        cfg_small = default_config(threshold=0.25)
+        cfg_over = default_config(threshold=0.25, max_driver_edges=0)
+        r1 = run_er(rd.from_arrow(files), cfg_small, n_buckets=8)
+        r2 = run_er(rd.from_arrow(files), cfg_over, n_buckets=8)
+        c1 = r1.clusters.select_columns(["row_id", "cluster_id"]).to_pandas() \
+            .sort_values("row_id").reset_index(drop=True)
+        c2 = r2.clusters.select_columns(["row_id", "cluster_id"]).to_pandas() \
+            .sort_values("row_id").reset_index(drop=True)
+        assert (c1.row_id.values == c2.row_id.values).all()
+        assert (c1.cluster_id.values == c2.cluster_id.values).all()
+
     def test_numpy_cc_matches_union_find(self, er_result):
         import pandas as pd
 
