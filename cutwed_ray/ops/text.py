@@ -109,9 +109,10 @@ class LangIdStage:
             lens = np.array([len(w) for w in words], dtype=np.int64)
             ends = np.cumsum(lens)
             starts = ends - lens
-            self.tables[lang] = set(
-                hash_flat_strings(np.frombuffer(data, np.uint8), starts, ends).tolist()
-            )
+            # sorted array, not a set: token lookups are a vectorized
+            # searchsorted instead of per-token Python hashing
+            self.tables[lang] = np.sort(
+                hash_flat_strings(np.frombuffer(data, np.uint8), starts, ends))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # lowercase first so stopword hashes match
@@ -122,8 +123,8 @@ class LangIdStage:
         scores = np.zeros((len(langs), len(batch)))
         for li, lang in enumerate(langs):
             tab = self.tables[lang]
-            hits = np.fromiter((h in tab for h in th.tolist()), count=th.shape[0],
-                               dtype=bool)
+            pos = np.minimum(np.searchsorted(tab, th), tab.size - 1)
+            hits = tab[pos] == th
             S = np.zeros(th.shape[0] + 1, dtype=np.int64)
             np.cumsum(hits, out=S[1:])
             scores[li] = (S[offsets[1:]] - S[offsets[:-1]]) / n_tok
@@ -141,23 +142,45 @@ def fingerprint(batch: pa.Table, text_col: str = "text", k: int = 5,
     ``fingerprint: int64`` per doc (deterministic near-dup-stable digest)."""
     from cutwed_ray.stages.hashing import shingle_hashes
 
+    from cutwed_ray.stages.hashing import _ranges
+
     th, offsets = tokenize_content(batch.column(text_col), max_tokens=1 << 20)
     sh, sh_off = shingle_hashes(th, offsets, k)
     n_docs = len(batch)
     fps = np.zeros(n_docs, dtype=np.uint64)
-    # per-doc: xor of window minima (vectorized with a strided min filter)
-    for di in range(n_docs):
-        s, e = sh_off[di], sh_off[di + 1]
-        if e <= s:
-            continue
-        h = sh[s:e]
-        if h.shape[0] <= window:
-            mins = np.array([h.min()], dtype=np.uint64)
-        else:
-            sw = np.lib.stride_tricks.sliding_window_view(h, window)
-            mins = sw.min(axis=1)
-        acc = np.uint64(0)
-        for m in np.unique(mins):
-            acc ^= m
-        fps[di] = splitmix64(np.array([acc], dtype=np.uint64))[0]
+    L = sh_off[1:] - sh_off[:-1]          # >= 1 per doc (fallback shingle)
+    if sh.shape[0] == 0 or n_docs == 0:
+        return batch.append_column(
+            "fingerprint", pa.array(fps.view(np.int64), pa.int64()))
+
+    # window minima for ALL docs in one pass: a global sliding-window min
+    # over the flat shingle buffer, each doc selecting only its in-bounds
+    # window positions; docs shorter than the window take their segment min
+    # via one reduceat over doc starts.  No per-document Python.
+    docs_parts, vals_parts = [], []
+    long_mask = L > window
+    if long_mask.any():
+        SW = np.lib.stride_tricks.sliding_window_view(sh, window).min(axis=1)
+        counts = (L - window + 1)[long_mask]
+        idx = _ranges(sh_off[:-1][long_mask], counts)
+        vals_parts.append(SW[idx])
+        docs_parts.append(np.repeat(np.flatnonzero(long_mask), counts))
+    short_mask = ~long_mask               # 1 <= L <= window: one min each
+    if short_mask.any():
+        seg_min = np.minimum.reduceat(sh, sh_off[:-1])   # per-doc total min
+        vals_parts.append(seg_min[short_mask])
+        docs_parts.append(np.flatnonzero(short_mask))
+    docs = np.concatenate(docs_parts)
+    vals = np.concatenate(vals_parts)
+
+    # per-doc XOR of UNIQUE window minima: sort by (doc, value), drop
+    # repeats, xor-reduce each doc's run
+    order = np.lexsort((vals, docs))
+    d_s, v_s = docs[order], vals[order]
+    keep = np.ones(d_s.size, dtype=bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+    du, vu = d_s[keep], v_s[keep]
+    run_starts = np.flatnonzero(np.r_[True, du[1:] != du[:-1]])
+    acc = np.bitwise_xor.reduceat(vu, run_starts)
+    fps[du[run_starts]] = splitmix64(acc)
     return batch.append_column("fingerprint", pa.array(fps.view(np.int64), pa.int64()))
