@@ -22,7 +22,19 @@ per unique series, then gathered per pair.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+#: scratch-memory guardrail for one sweep call.  The reference enforces
+#: compile-time BATCH_LIMIT=65535 / DIMENSION_LIMIT=32 with clear errors
+#: (/root/reference/src/cuTWED.cu:38-39, cuTWED_core.h:420-426); our
+#: engine's real constraint is worker heap, so the cap is byte-derived:
+#: the sweep allocates ~(3 + dim) * P * (M+1) elements of scratch.  A
+#: pathological 4096-token bucket at 512 pairs is ~100 MB — fine; this
+#: cap (default 8 GiB) catches runaway P x M combinations with an
+#: actionable error instead of an OOM-kill.
+MAX_SWEEP_BYTES = int(os.environ.get("CUTWED_RAY_MAX_SWEEP_BYTES", 8 << 30))
 
 # Triangle options, mirroring the reference's TRI_OPT enum
 # (/root/reference/src/cuTWED.h:24-26).  TRIL computes only strictly-lower
@@ -96,9 +108,21 @@ def _sweep(
     if A.shape[2] != B.shape[2]:
         raise ValueError("dimension mismatch between A and B pools")
 
-    # compiled fast path (float64, any dim) — same semantics, ~5-12x faster;
-    # falls through to the NumPy sweep when no compiler is available
-    if dtype == np.float64 and P > 0:
+    dim = A.shape[2]
+    est = (3 * (A.shape[1] + 1) + dim * (A.shape[1] + B.shape[1] + 1)
+           + 3 * (B.shape[1] + 1)) * max(P, 1) * dtype.itemsize
+    if est > MAX_SWEEP_BYTES:
+        raise ValueError(
+            f"sweep scratch estimate {est >> 20} MiB exceeds MAX_SWEEP_BYTES "
+            f"({MAX_SWEEP_BYTES >> 20} MiB): P={P} pairs x padded lengths "
+            f"({A.shape[1]}, {B.shape[1]}) x dim={dim}. Reduce the pair batch "
+            f"(cfg.score_batch_pairs), truncate series (cfg.max_tokens), or "
+            f"raise CUTWED_RAY_MAX_SWEEP_BYTES.")
+
+    # compiled fast path (float64 AND float32 twins, any dim — the twedf
+    # parity surface) — same semantics, ~5-12x faster; falls through to the
+    # NumPy sweep when no compiler is available
+    if dtype in (np.float64, np.float32) and P > 0:
         from cutwed_ray.kernel.ckernel import twed_pairs_c
 
         res_c = twed_pairs_c(A, TA, la, B, TB, lb, ia, ib, nu, lamb, degree)
