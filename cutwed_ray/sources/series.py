@@ -85,6 +85,51 @@ def read_series_text(paths, sample_len: int | None = None):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
+def read_series_gz_columns(paths, sample_len: int | None = None):
+    """Gzip'd columnar text reader — the reference's synthetic-index shape
+    (synthetic_index_validation/synthetic_index.py:58-92): one LINE per
+    time step, one COLUMN per series; series are the transposed columns in
+    C order, the time axis is a fabricated ``linspace(0, 1, n)``, and
+    ``sample_len`` truncates every series to its first ``sample_len``
+    samples with the time axis regenerated over the truncated length
+    (the reference's ``subset`` mode).
+
+    A gzip stream is not splittable, so each FILE is one parse task
+    (``read_binary_files``); the source scales across many files.  Output
+    schema: series_id int64 (column index within its file), source string
+    (file path), series list<float64>, ts list<float64>.
+    """
+    import ray.data as rd
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import gzip
+        import io
+
+        tables = []
+        raws = batch.column("bytes").to_pylist()
+        srcs = batch.column("path").to_pylist()
+        for raw, src in zip(raws, srcs):
+            # Arrow's filesystem layer may already have auto-decompressed
+            # by extension — sniff the gzip magic instead of trusting it
+            txt = (gzip.decompress(raw) if raw[:2] == b"\x1f\x8b" else raw).decode()
+            M = np.loadtxt(io.StringIO(txt), dtype=np.float64, ndmin=2)
+            TS = np.ascontiguousarray(M.T)          # (nseries, nsamples)
+            if sample_len is not None:
+                TS = TS[:, :sample_len].copy()
+            n = TS.shape[1]
+            T = np.linspace(0, 1, n, dtype=np.float64)
+            t = from_numpy(TS, T)
+            t = t.append_column("source", pa.array([src] * len(t), pa.string()))
+            tables.append(t)
+        if not tables:
+            sch = SERIES_SCHEMA.append(pa.field("source", pa.string()))
+            return sch.empty_table()
+        return pa.concat_tables(tables)
+
+    return rd.read_binary_files(paths, include_paths=True).map_batches(
+        parse, batch_format="pyarrow")
+
+
 def score_series_dataset(ds, nu: float, lamb: float, degree: int = 2,
                          concurrency: int = 4):
     """All-pairs TWED over a (small) series Dataset -> long-form pair table.

@@ -61,6 +61,8 @@ class ScoreBucket:
     def _score_chunk(self, ia, ib, tok_values, tok_offsets, n_tokens):
         """Score one chunk of pairs with the pool-indirect sweep."""
         cfg = self.cfg
+        from cutwed_ray.stages.hashing import _ranges
+
         uniq, inv = np.unique(np.r_[ia, ib], return_inverse=True)
         P = ia.shape[0]
         loc_a, loc_b = inv[:P], inv[P:]
@@ -69,11 +71,15 @@ class ScoreBucket:
         S = uniq.shape[0]
         X = np.zeros((S, M, 1), dtype=self.dtype)
         TX = np.zeros((S, M), dtype=self.dtype)
-        ar = np.arange(M, dtype=self.dtype)
-        for si, g in enumerate(uniq):
-            L = int(n_tokens[g])
-            X[si, :L, 0] = tok_values[tok_offsets[g]: tok_offsets[g] + L]
-            TX[si, :L] = ar[:L]
+        # vectorized flat gather (same shape as scorer_broadcast._pack) —
+        # no per-unique-series Python loop
+        nz = lens > 0
+        if nz.any():
+            gather = _ranges(tok_offsets[uniq[nz]], lens[nz])
+            rows = np.repeat(np.arange(S)[nz], lens[nz])
+            pos = _ranges(np.zeros(int(nz.sum()), dtype=np.int64), lens[nz])
+            X[rows, pos, 0] = tok_values[gather]
+            TX[rows, pos] = pos
         t = cfg.twed
         return _sweep(X, TX, lens.astype(np.int64),
                       X, TX, lens.astype(np.int64),

@@ -26,6 +26,34 @@ class TestSeriesSources:
         assert len(df) == 7
         assert all(len(s) == 8 for s in df.series)
 
+    def test_read_series_gz_columns_roundtrip(self, ray_session, tmp_path):
+        """Gzip columnar round-trip (the reference's synthetic-index shape):
+        lines = time steps, columns = series, fabricated unit time axis,
+        sample_len truncation regenerates the axis."""
+        import gzip
+
+        from cutwed_ray.sources.series import read_series_gz_columns
+
+        rng = np.random.RandomState(5)
+        M = rng.randn(7, 3)                       # 7 time steps x 3 series
+        p = tmp_path / "synthetic.data.gz"
+        with gzip.open(p, "wt") as f:
+            for row in M:
+                f.write(" ".join(f"{v:.17g}" for v in row) + "\n")
+
+        df = read_series_gz_columns(str(p)).to_pandas().sort_values(
+            "series_id").reset_index(drop=True)
+        assert len(df) == 3
+        for i in range(3):
+            assert np.allclose(df.series[i], M[:, i])
+            assert np.allclose(df.ts[i], np.linspace(0, 1, 7))
+
+        df2 = read_series_gz_columns(str(p), sample_len=4).to_pandas() \
+            .sort_values("series_id").reset_index(drop=True)
+        assert all(len(s) == 4 for s in df2.series)
+        assert np.allclose(df2.ts[0], np.linspace(0, 1, 4))
+        assert np.allclose(df2.series[2], M[:4, 2])
+
     def test_score_series_dataset_matches_batch(self, ray_session):
         """The distributed all-pairs series scorer equals twed_batch."""
         import ray.data as rd
