@@ -64,11 +64,28 @@ def tune_data_context(num_cpus: int) -> None:
 
 
 @contextmanager
+def _shuffle_for(strategy: str):
+    """Pick the shuffle strategy per scoring mode: HASH_SHUFFLE only for the
+    carry strategy, whose blocking shuffle moves heavy token-list rows
+    (measured ~2x over sort there); the broadcast strategy shuffles only
+    light band rows, where the hash shuffle's per-execution aggregator-ACTOR
+    startup (~2 s of fresh processes on a 16-CPU node) costs more than it
+    saves — task-based sort shuffle wins (measured 16.2 s vs 18.5 s at 16
+    CPUs, 52 s vs 54 s at 4)."""
+    if strategy == "carry":
+        with _hash_shuffle():
+            yield
+    else:
+        yield
+
+
+@contextmanager
 def _hash_shuffle():
-    """Scope the HASH_SHUFFLE strategy to the blocking shuffle only: it is
-    ~2x faster than the sort shuffle for our coarse integer bucket key, but
-    its per-execution aggregator-actor startup penalizes the many small
-    groupbys elsewhere, so it must not leak into the global context.
+    """Scope the HASH_SHUFFLE strategy to the carry-mode blocking shuffle
+    only: it is ~2x faster than the sort shuffle for heavy token-carrying
+    rows on our coarse integer bucket key, but its per-execution
+    aggregator-actor startup penalizes the many small groupbys elsewhere,
+    so it must not leak into the global context.
 
     The shuffle parallelism is capped to the cluster CPU count — Ray's
     default of 200 requests ~64 aggregator actors, which deadlocks small
@@ -170,58 +187,63 @@ def _store_budget_bytes(cfg: PipelineConfig) -> int:
 
 def _score_pairs_broadcast(ds_files, cfg: PipelineConfig, n_buckets: int,
                            conc: int):
+    tok = tokenize(ds_files, cfg).drop_columns(["content"]).materialize()
+    return _score_pairs_broadcast_from_tok(tok, cfg, n_buckets, conc)
+
+
+def _score_pairs_broadcast_from_tok(tok, cfg: PipelineConfig, n_buckets: int,
+                                    conc: int):
+    """Broadcast-strategy scoring over an already-materialized tokenized
+    table (run_er reuses the same materialization for the labeling pass)."""
     global LAST_SCORE_STRATEGY
     import ray
 
     from cutwed_ray.stages.pairgen import PairGen
     from cutwed_ray.stages.scorer_broadcast import (
-        TwedScorerBroadcast,
         build_token_store_async,
+        make_scoring_fn,
     )
 
-    tok = tokenize(ds_files, cfg).drop_columns(["content"]).materialize()
-
     # byte-budget guard: tok.size_bytes() (tokens dominate; conservative
-    # over-estimate including the id/band columns) vs the budget — beyond
-    # it the store would not fit plasma comfortably, so fall back to the
-    # carry strategy, which streams at any scale
+    # over-estimate including the id/band/content columns) vs the budget —
+    # beyond it the store would not fit plasma comfortably, so fall back to
+    # the carry strategy, which streams at any scale
     if tok.size_bytes() > _store_budget_bytes(cfg):
         LAST_SCORE_STRATEGY = "carry"
         return _score_pairs_carry(tok, cfg, n_buckets, conc)
     LAST_SCORE_STRATEGY = "broadcast"
 
-    # launched FIRST, awaited only by the scorer actors' __init__: the
-    # remote-task concat overlaps with the candidate-generation stage below
-    # (was: a serial driver-side concat + ray.put on the critical path)
+    # launched FIRST, awaited only inside the scoring tasks: the remote-task
+    # concat overlaps with the candidate-generation stage below (was: a
+    # serial driver-side concat + ray.put on the critical path)
     store_ref = build_token_store_async(tok)
 
-    # fixed-size pools (autoscaling-from-1 ramps too slowly and leaves most
-    # of the cluster idle for the first half of the stage); sized under the
-    # cluster CPU count so upstream tasks never starve
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    pool = max(2, min(conc, cpus - 1))
 
     light = tok.map_batches(
         ExplodeBands(cfg, n_buckets, carry_tokens=False), batch_format="pyarrow")
-    # the candidate-pair table is tiny (ids only) — materialize it, then give
-    # the fixed-width scorer pool the whole cluster with enough input blocks
-    # to keep every actor busy (a fixed pool against a LIVE upstream shuffle
-    # deadlocks by reserving every CPU).  PairGen is stateless, so it runs
-    # as an elastic TASK pool — an autoscaling actor pool ramps from 1 and
-    # leaves the cluster idle for the first half of the stage (measured).
+    # the candidate-pair table is tiny (ids only): generate it with elastic
+    # tasks (PairGen is stateless), then repartition fine-grained IN THE
+    # SAME execution so the scoring stage gets many small balanced blocks
     pair_gen = PairGen(cfg)
 
     def gen_pairs(t, _pg=pair_gen):
         return _pg(t)
 
-    cand = light.groupby("bucket").map_groups(
-        gen_pairs, batch_format="pyarrow").materialize()
-    if cand.num_blocks() < pool:
-        cand = cand.repartition(max(4 * cpus, 8)).materialize()
-    scored = cand.map_batches(
-        TwedScorerBroadcast, fn_constructor_args=(store_ref, cfg),
-        batch_format="pyarrow", batch_size=4 * cfg.score_batch_pairs,
-        concurrency=pool, num_cpus=1)
+    # ONE streaming execution: blocking shuffle -> pair generation ->
+    # fine-grained repartition -> task-based scoring.  Scoring runs as
+    # elastic TASKS (prestarted workers, no actor-pool process startup,
+    # no deadlock risk against the live upstream), with the plasma-mapped
+    # store cached per worker (make_scoring_fn) and batch-level slicing
+    # for load balance; scoring of early partitions overlaps the tail of
+    # the shuffle instead of waiting behind a materialize barrier.
+    scored = (light.groupby("bucket")
+                   .map_groups(gen_pairs, batch_format="pyarrow")
+                   .repartition(8 * cpus)
+                   .map_batches(make_scoring_fn(store_ref, cfg),
+                                batch_format="pyarrow",
+                                batch_size=4 * cfg.score_batch_pairs,
+                                num_cpus=1))
     return scored.drop_columns(["pair_max_len"])
 
 
@@ -248,7 +270,7 @@ def link_er(ds_a, ds_b, cfg: PipelineConfig | None = None, n_buckets: int = 64,
 
     ds = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
         ds_b.map_batches(tag(1), batch_format="pyarrow"))
-    with _hash_shuffle():
+    with _shuffle_for(strategy):
         pairs = score_pairs(ds, cfg, n_buckets, strategy=strategy).materialize()
 
     def sides(t: pa.Table) -> pa.Table:
@@ -268,16 +290,29 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
     t0 = time.time()
     metrics: dict[str, Any] = {"config_hash": _cfg_hash(cfg, f"b{n_buckets}")}
 
+    tok = None
     if cfg.checkpoint_dir:
         with _hash_shuffle():
             pairs = _score_with_checkpoint(ds_files, cfg, n_buckets, n_shards, metrics)
+        import ray.data as rd
+
+        tok = rd.read_parquet(os.path.join(cfg.checkpoint_dir, "tokenized"))
     else:
-        # the scored pair set is tiny relative to the corpus (blocking makes
-        # it sparse) — materialize it once so edges/counting don't re-run
-        # the whole blocking + scoring pipeline
-        with _hash_shuffle():
-            pairs = score_pairs(ds_files, cfg, n_buckets,
-                                strategy=strategy).materialize()
+        # ONE tokenize materialization serves BOTH scoring and the final
+        # labeling pass (content kept so the output schema is unchanged);
+        # the scored pair set is tiny relative to the corpus (blocking
+        # makes it sparse) — materialize it once so edges/counting don't
+        # re-run the whole blocking + scoring pipeline
+        conc = cfg.scorer_concurrency
+        with _shuffle_for(strategy):
+            tok = tokenize(ds_files, cfg).materialize()
+            if strategy == "broadcast":
+                pairs = _score_pairs_broadcast_from_tok(
+                    tok, cfg, n_buckets, conc).materialize()
+            else:
+                global LAST_SCORE_STRATEGY
+                LAST_SCORE_STRATEGY = "carry"
+                pairs = _score_pairs_carry(tok, cfg, n_buckets, conc).materialize()
     metrics["score_sec"] = round(time.time() - t0, 3)
 
     # ONE streaming driver pass over the (small, materialized) pair table
@@ -305,10 +340,12 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
                 edge_a, edge_b = [], []
     metrics["n_edges"] = n_edges
 
-    # label the original rows (light id stage — no re-tokenization)
-    from cutwed_ray.stages.tokenize import AddIdsStage
-
-    with_ids = ds_files.map_batches(AddIdsStage(), batch_format="pyarrow")
+    # label the rows: reuse the tokenized table (row_id + sha256 already
+    # computed, content preserved) — no second corpus read / re-hash
+    _tok_only = {"tokens", "n_tokens", "len_bucket"} | {
+        f"band_{i}" for i in range(cfg.minhash_bands)}
+    with_ids = tok.drop_columns(
+        [c for c in tok.schema().names if c in _tok_only])
 
     if overflow:
         # scale path: distributed label propagation over the edge Dataset,

@@ -38,6 +38,32 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+#: per-process cache of the geometric power sequences p^j / p^-j — they are
+#: identical across calls, so recomputing them was 2 of the 4 full-buffer
+#: passes in the tokenize hot path (measured ~30% of hash_flat_strings)
+_POW_CACHE: dict = {}
+
+
+def _pow_seqs(variant: int, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(p_pows[0..n], pinv_pows[0..n)) with amortized growth."""
+    p, pinv = (_P, _PINV) if variant == 0 else (_P2, _P2INV)
+    cached = _POW_CACHE.get(variant)
+    if cached is None or cached[0].shape[0] < n + 1:
+        size = max(n + 1, 1 << 20,
+                   0 if cached is None else 2 * cached[0].shape[0])
+        p_pows = np.empty(size, dtype=np.uint64)
+        p_pows[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(size - 1, p, dtype=np.uint64),
+                               out=p_pows[1:])
+        pinv_pows = np.empty(size, dtype=np.uint64)
+        pinv_pows[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(size - 1, pinv, dtype=np.uint64),
+                               out=pinv_pows[1:])
+        cached = (p_pows, pinv_pows)
+        _POW_CACHE[variant] = cached
+    return cached[0][: n + 1], cached[1][:n]
+
+
 def hash_flat_strings(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                       variant: int = 0) -> np.ndarray:
     """Hash N strings packed in one uint8 buffer.
@@ -49,21 +75,16 @@ def hash_flat_strings(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
              both gives an effectively-128-bit key.
     Returns (N,) uint64 hashes (mixed).  Empty strings hash to a constant.
     """
-    p, pinv = (_P, _PINV) if variant == 0 else (_P2, _P2INV)
     n = data.shape[0]
     if n == 0:
         return splitmix64(np.zeros(starts.shape[0], dtype=np.uint64))
-    b = data.astype(np.uint64) + np.uint64(1)
-    pinv_pows = np.empty(n, dtype=np.uint64)
-    pinv_pows[0] = np.uint64(1)
-    np.multiply.accumulate(np.full(n - 1, pinv, dtype=np.uint64), out=pinv_pows[1:])
-    # pinv_pows[j] = pinv^j ;  g_j = (b_j+1) * pinv^j ;  S = exclusive prefix sum
-    g = b * pinv_pows
+    p_pows, pinv_pows = _pow_seqs(variant, n)
+    # g_j = (b_j+1) * pinv^j ;  S = exclusive prefix sum (in-place, one temp)
+    g = data.astype(np.uint64)
+    g += np.uint64(1)
+    g *= pinv_pows
     S = np.zeros(n + 1, dtype=np.uint64)
     np.cumsum(g, out=S[1:])
-    p_pows = np.empty(n + 1, dtype=np.uint64)
-    p_pows[0] = np.uint64(1)
-    np.multiply.accumulate(np.full(n, p, dtype=np.uint64), out=p_pows[1:])
 
     starts = np.asarray(starts, dtype=np.int64)
     ends = np.asarray(ends, dtype=np.int64)

@@ -77,14 +77,47 @@ def build_token_store(tokenized_ds):
     return ray.put(store), store["row_ids"].shape[0], n_bytes
 
 
+#: per-worker single-slot scorer cache: scoring runs as elastic TASKS in
+#: prestarted reusable workers (no actor-process startup), so the mapped
+#: store + config live here between batches of the same execution
+_SCORER_SLOT: list = [None, None]          # [key, TwedScorerBroadcast]
+
+
+def make_scoring_fn(store_ref, cfg: PipelineConfig):
+    """Stateless-callable scoring fn for ``map_batches`` TASKS.
+
+    The token store is plasma-mapped once per worker (cached by ref) —
+    task-based scoring keeps the elasticity and prestarted-worker reuse
+    that a fixed actor pool gives up, at zero per-batch cost since
+    ``ray.get`` of a mapped object is ~µs.
+    """
+
+    import json
+
+    key = (store_ref.hex(), json.dumps(cfg.to_dict(), sort_keys=True))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if _SCORER_SLOT[0] != key:
+            _SCORER_SLOT[0] = key
+            _SCORER_SLOT[1] = TwedScorerBroadcast(store_ref, cfg)
+        return _SCORER_SLOT[1](batch)
+
+    return score
+
+
 def build_token_store_async(tokenized_ds):
     """Store build as a remote TASK: the block concat runs in a worker
     (zero driver bytes) and overlaps with whatever the driver schedules
     next (candidate generation).  Returns an ObjectRef resolving to the
-    store dict; scorer actors ``ray.get`` it in ``__init__``."""
+    store dict; scoring tasks ``ray.get`` it (plasma-mapped, zero-copy).
+
+    Expects a MATERIALIZED dataset: the refs are passed straight to the
+    builder (no projection execution — the assembler picks out row_id and
+    tokens itself; extra columns cost nothing, the blocks are already in
+    plasma)."""
     import ray
 
-    refs = list(tokenized_ds.select_columns(["row_id", "tokens"]).to_arrow_refs())
+    refs = list(tokenized_ds.to_arrow_refs())
     builder = ray.remote(num_cpus=1)(_assemble_store_from_blocks)
     return builder.remote(*refs)
 

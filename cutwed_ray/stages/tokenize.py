@@ -120,6 +120,22 @@ def tokenize_content(content, max_tokens: int) -> tuple[np.ndarray, np.ndarray]:
     return th, offsets
 
 
+def _sha256_hex(content) -> list[str]:
+    """Per-row sha256 hex straight from the flat Arrow buffer (memoryview
+    slices) — no per-row Python-str materialization/encode round-trip.
+    Null rows hash the empty string, matching the previous behavior."""
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    bufs = content.buffers()
+    off_dtype = np.int64 if pa.types.is_large_string(content.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=off_dtype)[
+        content.offset: content.offset + len(content) + 1
+    ].astype(np.int64)
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return [hashlib.sha256(mv[s:e]).hexdigest()
+            for s, e in zip(off[:-1].tolist(), off[1:].tolist())]
+
+
 def _apply_side_bit(rid: np.ndarray, batch: pa.Table) -> np.ndarray:
     """Record-linkage support: when a ``__side__`` column (0/1) is present,
     encode it in the row_id's lowest bit so cross-dataset pairs are
@@ -143,10 +159,7 @@ class AddIdsStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         content = batch.column("content")
-        sha = [
-            hashlib.sha256(s.encode() if s is not None else b"").hexdigest()
-            for s in content.to_pylist()
-        ]
+        sha = _sha256_hex(content)
         rid = np.zeros(len(batch), dtype=np.uint64)
         for c in self.id_cols:
             if c in batch.column_names:
@@ -171,11 +184,9 @@ class TokenizeStage:
         cfg = self.cfg
         content = batch.column("content")
 
-        # sha256 per row (hashlib releases the GIL; C-speed per row)
-        sha = [
-            hashlib.sha256(s.encode() if s is not None else b"").hexdigest()
-            for s in content.to_pylist()
-        ]
+        # sha256 per row (hashlib is C-speed; slices come straight from the
+        # Arrow buffer, no str round-trip)
+        sha = _sha256_hex(content)
 
         # stable row id from identity columns
         rid = np.zeros(len(batch), dtype=np.uint64)
