@@ -218,8 +218,6 @@ def _score_pairs_broadcast_from_tok(tok, cfg: PipelineConfig, n_buckets: int,
     # serial driver-side concat + ray.put on the critical path)
     store_ref = build_token_store_async(tok)
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-
     light = tok.map_batches(
         ExplodeBands(cfg, n_buckets, carry_tokens=False), batch_format="pyarrow")
     # the candidate-pair table is tiny (ids only): generate it with elastic
@@ -231,15 +229,17 @@ def _score_pairs_broadcast_from_tok(tok, cfg: PipelineConfig, n_buckets: int,
         return _pg(t)
 
     # ONE streaming execution: blocking shuffle -> pair generation ->
-    # fine-grained repartition -> task-based scoring.  Scoring runs as
+    # task-based scoring fused onto the reduce outputs.  Scoring runs as
     # elastic TASKS (prestarted workers, no actor-pool process startup,
     # no deadlock risk against the live upstream), with the plasma-mapped
     # store cached per worker (make_scoring_fn) and batch-level slicing
-    # for load balance; scoring of early partitions overlaps the tail of
-    # the shuffle instead of waiting behind a materialize barrier.
+    # for load balance; early buckets score while the shuffle tail is
+    # still running.  NO repartition between pairgen and scoring — an
+    # all-to-all there is a barrier that stalls scoring until every
+    # bucket's pairs exist (measured +5-9 s at 16 CPUs for zero balance
+    # benefit: the sort shuffle already yields many small partitions).
     scored = (light.groupby("bucket")
                    .map_groups(gen_pairs, batch_format="pyarrow")
-                   .repartition(8 * cpus)
                    .map_batches(make_scoring_fn(store_ref, cfg),
                                 batch_format="pyarrow",
                                 batch_size=4 * cfg.score_batch_pairs,
