@@ -99,7 +99,8 @@ def run_bench() -> dict:
     cfg = default_config(threshold=0.25, scorer_concurrency=NUM_CPUS,
                          minhash_perms=18, minhash_bands=6)
     er_sec = float("inf")
-    for _ in range(2):
+    n_passes = int(os.environ.get("GRAFT_BENCH_PASSES", "2"))
+    for _ in range(n_passes):
         t0 = time.time()
         res = run_er(rd.read_parquet(f"{cpath}/files"), cfg,
                      n_buckets=2 * NUM_CPUS, strategy="broadcast")
@@ -146,7 +147,10 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # 3 ER passes per level (min taken): the ±25% ambient-load noise on
+        # this shared box otherwise dominates the efficiency ratio
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_PASSES=os.environ.get("GRAFT_BENCH_PASSES", "3"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])

@@ -209,6 +209,165 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     return exploded.groupby("bkey").map_groups(pairs_of_group, batch_format="pandas")
 
 
+# ----------------------------------------------------------- n-gram Jaccard
+def _doc_shingle_sets(batch: pa.Table, text_col: str, id_col: str, k: int):
+    """Per-doc UNIQUE k-token shingle hashes: (ids, flat uniq hashes, offsets)."""
+    th, offsets = tokenize_content(batch.column(text_col), max_tokens=1 << 20)
+    sh, sh_off = shingle_hashes(th, offsets, k)
+    n = len(batch)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), sh_off[1:] - sh_off[:-1])
+    order = np.lexsort((sh, doc_of))
+    d_s, v_s = doc_of[order], sh[order]
+    keep = np.ones(d_s.size, dtype=bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+    du, vu = d_s[keep], v_s[keep]
+    counts = np.bincount(du, minlength=n)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    ids = batch.column(id_col).to_numpy().astype(np.int64)
+    return ids, vu, off
+
+
+def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, threshold: float = 0.5,
+                        n_buckets: int = 64):
+    """EXACT n-gram (k-token shingle) Jaccard near-dup pairs >= threshold.
+
+    Complete (no LSH recall loss): any pair with Jaccard > 0 shares a
+    shingle, so an inverted-index self-join over shingle hashes generates
+    every qualifying candidate.  Scale shape:
+
+    * candidates: (shingle, doc) rows grouped by a COARSE shingle bucket
+      (vectorized segment pairing inside ~n_buckets groups — no
+      per-shingle micro-groups);
+    * each pair is kept only at its MINIMUM common shingle (cross-shingle
+      dedup without a second shuffle);
+    * verification: exact sorted-set intersection against a broadcast
+      shingle-set store (`ray.put` once, mapped per worker) — the same
+      small-side-broadcast pattern as the TWED token store, and like it
+      subject to an object-store budget at extreme scale (the LSH-banded
+      ``minhash_lsh_pairs`` is the beyond-budget path).
+
+    Returns (id_a, id_b, jaccard float64 rounded to 8).  Semantics mirror
+    the DuckDB oracle in pipelines/queries.py: tokens = whitespace runs,
+    shingles = distinct k-grams, docs with < k tokens contribute ONE
+    order-insensitive whole-doc shingle.
+    """
+    import pandas as pd
+    import ray
+
+    from cutwed_ray.stages.hashing import _ranges
+
+    # ---- broadcast store of per-doc sorted unique shingle sets ----
+    def shingle_tbl(t: pa.Table) -> pa.Table:
+        ids, vu, off = _doc_shingle_sets(t, text_col, id_col, k)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "sh": pa.ListArray.from_arrays(
+                pa.array(off, pa.int32()), pa.array(vu.view(np.int64), pa.int64())),
+        })
+
+    shingled = ds.map_batches(shingle_tbl, batch_format="pyarrow").materialize()
+
+    def _build(*tables):
+        ids_l, vals_l, lens_l = [], [], []
+        for t in tables:
+            if t.num_rows == 0:
+                continue
+            col = t.column("sh")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ids_l.append(t.column(id_col).to_numpy())
+            off = np.asarray(col.offsets, dtype=np.int64)
+            lens_l.append(off[1:] - off[:-1])
+            vals_l.append(np.asarray(col.values, dtype=np.int64))
+        if not ids_l:
+            return {"ids": np.zeros(0, np.int64), "starts": np.zeros(0, np.int64),
+                    "lens": np.zeros(0, np.int64), "vals": np.zeros(0, np.uint64)}
+        ids = np.concatenate(ids_l)
+        lens = np.concatenate(lens_l)
+        vals = np.concatenate(vals_l).view(np.uint64)
+        starts = np.zeros(ids.shape[0], dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        order = np.argsort(ids, kind="stable")
+        return {"ids": ids[order], "starts": starts[order],
+                "lens": lens[order], "vals": vals}
+
+    builder = ray.remote(num_cpus=1)(_build)
+    store_ref = builder.remote(*shingled.to_arrow_refs())
+
+    # ---- inverted-index candidates, coarse-bucketed ----
+    def explode(t: pa.Table) -> pa.Table:
+        col = t.column("sh")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off = np.asarray(col.offsets, dtype=np.int64)
+        vals = np.asarray(col.values, dtype=np.int64).view(np.uint64)
+        lens = off[1:] - off[:-1]
+        doc_ids = np.repeat(t.column(id_col).to_numpy(), lens)
+        return pa.table({
+            "bkt": pa.array((vals % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+            "shingle": pa.array(vals.view(np.int64), pa.int64()),
+            id_col: pa.array(doc_ids, pa.int64()),
+        })
+
+    exploded = shingled.map_batches(explode, batch_format="pyarrow")
+
+    def gen_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from cutwed_ray.stages.pairgen import _pairs_within_segments
+
+        sh = g["shingle"].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, sh))
+        sh_s, ids_s = sh[order], ids[order]
+        seg_new = np.r_[True, sh_s[1:] != sh_s[:-1]]
+        sizes = np.diff(np.r_[np.nonzero(seg_new)[0], sh_s.shape[0]])
+        ia, ib = _pairs_within_segments(sizes)
+        if ia.size == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "shingle": pd.Series(dtype=np.int64)})
+        a, b = ids_s[ia], ids_s[ib]
+        swap = a > b
+        return pd.DataFrame({"id_a": np.where(swap, b, a),
+                             "id_b": np.where(swap, a, b),
+                             "shingle": sh_s[ia]})
+
+    cand = exploded.groupby("bkt").map_groups(gen_pairs, batch_format="pandas")
+
+    # ---- exact verify against the broadcast store ----
+    def verify(t: pa.Table) -> pa.Table:
+        store = ray.get(store_ref)
+        ids, starts, lens, vals = (store["ids"], store["starts"],
+                                   store["lens"], store["vals"])
+        out_a, out_b, out_j = [], [], []
+        id_a = t.column("id_a").to_numpy()
+        id_b = t.column("id_b").to_numpy()
+        shg = t.column("shingle").to_numpy().view(np.uint64)
+        pa_i = np.searchsorted(ids, id_a)
+        pb_i = np.searchsorted(ids, id_b)
+        for x in range(len(t)):
+            a, b = pa_i[x], pb_i[x]
+            sa = vals[starts[a]: starts[a] + lens[a]]
+            sb = vals[starts[b]: starts[b] + lens[b]]
+            common = np.intersect1d(sa, sb, assume_unique=True)
+            if common.size == 0 or common.min() != shg[x]:
+                continue          # dedup: pair survives only at min shingle
+            union = sa.shape[0] + sb.shape[0] - common.size
+            j = common.size / max(union, 1)
+            if j >= threshold:
+                out_a.append(id_a[x])
+                out_b.append(id_b[x])
+                out_j.append(round(j, 8))
+        return pa.table({
+            "id_a": pa.array(np.asarray(out_a, dtype=np.int64), pa.int64()),
+            "id_b": pa.array(np.asarray(out_b, dtype=np.int64), pa.int64()),
+            "jaccard": pa.array(np.asarray(out_j, dtype=np.float64), pa.float64()),
+        })
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------- SimHash
 def add_simhash(batch: pa.Table, text_col: str = "text",
                 out_col: str = "simhash") -> pa.Table:

@@ -577,6 +577,71 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 """
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """EXACT k-token-shingle Jaccard near-dup (complete inverted-index
+    candidates + broadcast-set verification) — unlike the LSH variants this
+    is SQL-expressible, so it carries a DuckDB oracle."""
+    from cutwed_ray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                               k=3, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+         END AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([ t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   FOR i IN range(1, len(t) - 1) ])
+              ELSE [ array_to_string(list_sort(t), ' ') ] END AS s
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(inter::DOUBLE / GREATEST(un, 1), 8) AS jaccard
+FROM pairs WHERE inter::DOUBLE / GREATEST(un, 1) >= 0.5
+"""
+
+
+def q_embedding_near_dup_exact(sf_dir: str):
+    """Exact (all-pairs) embedding-cosine near-dup — the oracle-comparable
+    twin of the LSH-bucketed ``embedding_near_dup`` (same pattern as
+    knn_bruteforce vs knn_lsh).  Only the id pair SET is compared: DuckDB
+    evaluates list_cosine_similarity in float32 vs numpy's float64, and at
+    threshold 0.4 the closest pair margin in the testdata is >=1.3e-4 —
+    three orders above the f32 error."""
+    from cutwed_ray.ops.dedup import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.4,
+                                   exhaustive=True)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": pa.array(t.column("id_a").to_numpy().astype(np.int64), pa.int64()),
+            "id_b": pa.array(t.column("id_b").to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_NEAR_DUP_EXACT = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
 # ------------------------------------------------- non-SQL-expressible (rows-only)
 def q_minhash_near_dup(sf_dir: str):
     from cutwed_ray.ops.dedup import minhash_lsh_pairs
@@ -721,6 +786,8 @@ QUERIES = {
     "events_type_stats": q_events_type_stats,
     "events_sessions": q_events_sessions,
     "knn_bruteforce": q_knn_bruteforce,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_near_dup_exact": q_embedding_near_dup_exact,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
@@ -751,4 +818,6 @@ ORACLE = {
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "embedding_near_dup_exact": SQL_EMBEDDING_NEAR_DUP_EXACT,
 }

@@ -65,6 +65,35 @@ class TestDedupOps:
         n_true = sum(c * (c - 1) // 2 for c in by_group.values())
         assert len(pairs) >= 0.7 * n_true
 
+    def test_ngram_jaccard_exact_vs_bruteforce(self, ray_session, doc_table):
+        """The inverted-index + min-common-shingle path must equal an
+        all-pairs brute force over the same shingle sets (completeness AND
+        dedup correctness), including the jaccard values."""
+        import ray.data as rd
+
+        from cutwed_ray.ops.dedup import _doc_shingle_sets, ngram_jaccard_pairs
+
+        got = ngram_jaccard_pairs(rd.from_arrow(doc_table), k=3,
+                                  threshold=0.5).to_pandas()
+        got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+        ids, vu, off = _doc_shingle_sets(doc_table, "text", "doc_id", 3)
+        sets = [vu[off[i]: off[i + 1]] for i in range(len(ids))]
+        want = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
+                union = sets[i].size + sets[j].size - inter
+                jac = inter / max(union, 1)
+                if jac >= 0.5:
+                    want.append((min(ids[i], ids[j]), max(ids[i], ids[j]),
+                                 round(jac, 8)))
+        want.sort()
+        assert len(got) == len(want)
+        assert got.id_a.tolist() == [w[0] for w in want]
+        assert got.id_b.tolist() == [w[1] for w in want]
+        assert np.allclose(got.jaccard.to_numpy(), [w[2] for w in want], atol=0)
+
     def test_simhash_hamming_zero_for_exact(self, ray_session, doc_table):
         import ray.data as rd
 

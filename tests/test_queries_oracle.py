@@ -68,7 +68,7 @@ SQL_CHECKED = ["exact_dedup", "exact_cluster", "block_counts", "token_counts",
                "lineitem_pricing", "orders_by_segment", "orders_topk_per_cust",
                "event_type_users", "supplier_region_revenue",
                "events_hourly", "events_type_stats", "events_sessions",
-               "knn_bruteforce"]
+               "knn_bruteforce", "ngram_jaccard", "embedding_near_dup_exact"]
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
