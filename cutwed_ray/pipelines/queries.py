@@ -350,19 +350,34 @@ GROUP BY r.r_name
 
 
 def q_orders_topk_per_cust(sf_dir: str):
-    """Window-function shape: top-3 orders by price per customer
-    (per-group sort + head inside map_groups; deterministic tie-break)."""
+    """Window-function shape: top-3 orders by price per customer.
+
+    Shuffle key is a COARSE hash bucket of the customer (not the customer
+    itself): each map_groups call processes ~1/64 of all customers with
+    one vectorized pandas sort + groupby.head — no per-customer
+    micro-groups (one Python call per distinct key kills throughput at
+    scale).  Deterministic tie-break on order key."""
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
+    def bucketize(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy()
+        b = (ck.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(58)).astype(np.int32)
+        return t.append_column("cbkt", pa.array(b, pa.int32()))
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
         g["price_cents"] = np.floor(g.o_totalprice * 100 + 0.5).astype(np.int64)
-        g = g.sort_values(["price_cents", "o_orderkey"],
-                          ascending=[False, True]).head(3)
-        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g = g.sort_values(["o_custkey", "price_cents", "o_orderkey"],
+                          ascending=[True, False, True], kind="stable")
+        g = g.groupby("o_custkey", as_index=False, sort=False).head(3)
+        g["rk"] = g.groupby("o_custkey", sort=False).cumcount().to_numpy() + 1
+        g["rk"] = g["rk"].astype(np.int64)
         return g[["o_custkey", "o_orderkey", "price_cents", "rk"]]
 
-    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("cbkt")
+              .map_groups(topk_bucket, batch_format="pandas"))
 
 
 SQL_ORDERS_TOPK = """
@@ -503,22 +518,35 @@ FROM events GROUP BY event_type
 
 def q_events_sessions(sf_dir: str):
     """Session windows (30-minute inactivity gap) per user — the
-    streaming-shaped sessionization op expressed as sorted per-key
-    ``map_groups`` (Ray Data has no watermarks; the ordering assumption is
-    events sorted by ts within each user group)."""
+    streaming-shaped sessionization op (Ray Data has no watermarks; event
+    time is handled by sorting within the shuffle partition).
+
+    Shuffle key is a COARSE user hash bucket: each map_groups call
+    sessionizes ~1/64 of all users in one vectorized pass (sort by
+    (user, ts); a session break is a user change OR a >30-min gap; session
+    ids by cumsum; one pandas groupby) — no per-user micro-groups."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(58)).astype(np.int32)
+        return t.append_column("ubkt", pa.array(b, pa.int32()))
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        new_user = g.user_id.ne(g.user_id.shift())
         gap = g.ts.diff() > pd.Timedelta(minutes=30)
-        sess = gap.cumsum()
-        out = g.groupby(sess, as_index=False).agg(
+        sess = (new_user | gap).cumsum()
+        out = g.groupby(sess, as_index=False, sort=False).agg(
+            user_id=("user_id", "first"),
             session_start=("ts", "min"), n_events=("ts", "size"))
-        out["user_id"] = g.user_id.iloc[0]
         out["n_events"] = out["n_events"].astype(np.int64)
         return out[["user_id", "session_start", "n_events"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("ubkt")
+              .map_groups(sessions_bucket, batch_format="pandas"))
 
 
 SQL_EVENTS_SESSIONS = """
