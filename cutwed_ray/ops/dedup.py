@@ -140,16 +140,23 @@ class MinHashStage:
 
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       k: int = 3, n_perms: int = 16, n_bands: int = 8,
-                      verify_jaccard: float | None = None):
+                      verify_jaccard: float | None = None,
+                      n_buckets: int = 64):
     """Candidate near-duplicate pairs via MinHash-LSH banding.
 
-    shingle -> minhash -> band -> bucket groupby -> i<j pairs, deduplicated
-    across bands by the first-collision rule (no second shuffle).  With
-    ``verify_jaccard`` set, candidates are verified with exact shingle-set
-    Jaccard (vectorized sorted-array intersection) and filtered.
+    shingle -> minhash -> band -> COARSE-bucket groupby -> per-band-hash
+    segment i<j pairs, deduplicated across bands by the first-collision
+    rule (no second shuffle).  The shuffle key is ``band_hash %
+    n_buckets``, not the band hash itself: one vectorized call handles all
+    the band buckets of a coarse group (a per-band-bucket ``map_groups``
+    fires one Python call per distinct band hash — millions of
+    micro-groups at corpus scale).  With ``verify_jaccard`` set,
+    candidates are verified with exact shingle-set Jaccard and filtered.
     Returns (id_a, id_b[, jaccard]).
     """
     import pandas as pd
+
+    from cutwed_ray.stages.pairgen import _pairs_within_segments
 
     sigs = ds.map_batches(MinHashStage(text_col, k, n_perms, n_bands),
                           batch_format="pyarrow")
@@ -164,6 +171,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             ^ (np.arange(n_bands, dtype=np.uint64)[None, :] + np.uint64(0xB00))
         ).reshape(-1)
         cols = {
+            "cbkt": pa.array((keys % np.uint64(n_buckets)).astype(np.int32),
+                             pa.int32()),
             "bkey": pa.array(keys.view(np.int64), pa.int64()),
             "band_id": pa.array(np.tile(np.arange(n_bands, dtype=np.int8), n), pa.int8()),
             id_col: t.column(id_col).take(pa.array(idx)),
@@ -176,37 +185,56 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        m = len(g)
-        if m < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        band_id = int(g["band_id"].iloc[0])
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64)})
+        if verify_jaccard is not None:
+            empty["jaccard"] = pd.Series(dtype=np.float64)
+        if len(g) < 2:
+            return empty
+        bkeys = g["bkey"].to_numpy()
         ids = g[id_col].to_numpy()
-        bands_m = np.stack([g[c].to_numpy() for c in band_cols], axis=1)
-        ia, ib = np.triu_indices(m, k=1)
+        order = np.lexsort((ids, bkeys))
+        bk_s = bkeys[order]
+        seg_new = np.r_[True, bk_s[1:] != bk_s[:-1]]
+        sizes = np.diff(np.r_[np.nonzero(seg_new)[0], bk_s.shape[0]])
+        ia, ib = _pairs_within_segments(sizes)
+        if ia.size == 0:
+            return empty
+        ids_s = ids[order]
+        band_id_s = g["band_id"].to_numpy()[order]
+        bands_m = np.stack([g[c].to_numpy() for c in band_cols], axis=1)[order]
         eq = bands_m[ia] == bands_m[ib]
-        keep = eq.argmax(axis=1) == band_id
+        keep = eq.argmax(axis=1) == band_id_s[ia]
         ia, ib = ia[keep], ib[keep]
-        a, b = ids[ia], ids[ib]
+        if ia.size == 0:
+            return empty
+        a, b = ids_s[ia], ids_s[ib]
         swap = a > b
-        out = pd.DataFrame({"id_a": np.where(swap, b, a), "id_b": np.where(swap, a, b)})
-        if verify_jaccard is not None and len(out):
-            texts = g[text_col].tolist()
-            jac = np.empty(len(out))
-            sets = [None] * m
-            th, off = tokenize_content(pa.array(texts, pa.string()), 1 << 20)
+        out = pd.DataFrame({"id_a": np.where(swap, b, a),
+                            "id_b": np.where(swap, a, b)})
+        if verify_jaccard is not None:
+            texts_s = g[text_col].to_numpy()[order]
+            uniq = np.unique(np.r_[ia, ib])
+            th, off = tokenize_content(
+                pa.array(texts_s[uniq].tolist(), pa.string()), 1 << 20)
             sh, sh_off = shingle_hashes(th, off, k)
-            for i in set(ia.tolist()) | set(ib.tolist()):
-                sets[i] = np.unique(sh[sh_off[i]:sh_off[i + 1]])
-            for x, (i, j) in enumerate(zip(ia, ib)):
-                inter = np.intersect1d(sets[i], sets[j], assume_unique=True).shape[0]
-                union = sets[i].shape[0] + sets[j].shape[0] - inter
+            sets = [np.unique(sh[sh_off[u]: sh_off[u + 1]])
+                    for u in range(uniq.shape[0])]
+            la = np.searchsorted(uniq, ia)
+            lb = np.searchsorted(uniq, ib)
+            jac = np.empty(ia.shape[0])
+            for x in range(ia.shape[0]):
+                si, sj = sets[la[x]], sets[lb[x]]
+                inter = np.intersect1d(si, sj, assume_unique=True).shape[0]
+                union = si.shape[0] + sj.shape[0] - inter
                 jac[x] = inter / max(union, 1)
             out["jaccard"] = jac
             out = out[out.jaccard >= verify_jaccard]
         return out
 
-    return exploded.groupby("bkey").map_groups(pairs_of_group, batch_format="pandas")
+    return exploded.groupby("cbkt").map_groups(pairs_of_bucket,
+                                               batch_format="pandas")
 
 
 # ----------------------------------------------------------- n-gram Jaccard
@@ -390,14 +418,19 @@ def add_simhash(batch: pa.Table, text_col: str = "text",
 
 
 def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                           max_hamming: int = 3):
+                           max_hamming: int = 3, n_buckets: int = 64):
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
     Banding: 4 x 16-bit chunks — any pair within Hamming 3 shares at least
-    one exact chunk (pigeonhole), so a groupby per chunk finds all of them.
+    one exact chunk (pigeonhole).  Like minhash, the shuffle key is a
+    COARSE bucket of the chunk hash (``ckey % n_buckets``): one vectorized
+    call per coarse group covers all its chunk buckets as segments instead
+    of one Python call per distinct chunk value.
     Returns (id_a, id_b, hamming).
     """
     import pandas as pd
+
+    from cutwed_ray.stages.pairgen import _pairs_within_segments
 
     hashed = ds.map_batches(lambda t: add_simhash(t, text_col), batch_format="pyarrow")
 
@@ -409,6 +442,7 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         chunks = (sh[:, None] >> (np.arange(4, dtype=np.uint64) * np.uint64(16))[None, :]) & np.uint64(0xFFFF)
         key = splitmix64(chunks.reshape(-1) ^ ((chunk_id + np.uint64(1)) << np.uint64(32)))
         return pa.table({
+            "cbkt": pa.array((key % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
             "ckey": pa.array(key.view(np.int64), pa.int64()),
             "chunk_id": pa.array(np.tile(np.arange(4, dtype=np.int8), n), pa.int8()),
             id_col: t.column(id_col).take(pa.array(idx)),
@@ -417,39 +451,46 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     exploded = hashed.map_batches(explode, batch_format="pyarrow")
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        m = len(g)
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                               "id_b": pd.Series(dtype=np.int64),
                               "hamming": pd.Series(dtype=np.int64)})
-        if m < 2:
+        if len(g) < 2:
             return empty
+        ckeys = g["ckey"].to_numpy()
         ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy().view(np.uint64)
-        chunk_id = int(g["chunk_id"].iloc[0])
-        ia, ib = np.triu_indices(m, k=1)
-        x = sh[ia] ^ sh[ib]
+        order = np.lexsort((ids, ckeys))
+        ck_s = ckeys[order]
+        seg_new = np.r_[True, ck_s[1:] != ck_s[:-1]]
+        sizes = np.diff(np.r_[np.nonzero(seg_new)[0], ck_s.shape[0]])
+        ia, ib = _pairs_within_segments(sizes)
+        if ia.size == 0:
+            return empty
+        ids_s = ids[order]
+        sh_s = g["simhash"].to_numpy()[order].view(np.uint64)
+        chunk_id_s = g["chunk_id"].to_numpy()[order]
+        x = sh_s[ia] ^ sh_s[ib]
         ham = np.zeros(ia.shape[0], dtype=np.int64)
         v = x.copy()
         for _ in range(64):
             ham += (v & np.uint64(1)).astype(np.int64)
             v >>= np.uint64(1)
         keep = ham <= max_hamming
-        # first-collision dedup: count equal chunks below chunk_id
-        if keep.any():
-            chunks = (sh[:, None] >> (np.arange(4, dtype=np.uint64) * np.uint64(16))[None, :]) & np.uint64(0xFFFF)
-            eq = chunks[ia[keep]] == chunks[ib[keep]]
-            first = eq.argmax(axis=1)
-            keep2 = first == chunk_id
-            ia, ib, ham = ia[keep][keep2], ib[keep][keep2], ham[keep][keep2]
-        else:
+        if not keep.any():
             return empty
-        a, b = ids[ia], ids[ib]
+        # first-collision dedup: the pair survives only in its first
+        # shared chunk's bucket
+        chunks = (sh_s[:, None] >> (np.arange(4, dtype=np.uint64) * np.uint64(16))[None, :]) & np.uint64(0xFFFF)
+        eq = chunks[ia[keep]] == chunks[ib[keep]]
+        keep2 = eq.argmax(axis=1) == chunk_id_s[ia[keep]]
+        ia, ib, ham = ia[keep][keep2], ib[keep][keep2], ham[keep][keep2]
+        a, b = ids_s[ia], ids_s[ib]
         swap = a > b
         return pd.DataFrame({"id_a": np.where(swap, b, a),
                              "id_b": np.where(swap, a, b), "hamming": ham})
 
-    return exploded.groupby("ckey").map_groups(pairs_of_group, batch_format="pandas")
+    return exploded.groupby("cbkt").map_groups(pairs_of_bucket,
+                                               batch_format="pandas")
 
 
 # --------------------------------------------------- embedding-cosine dedup
@@ -484,6 +525,8 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
         norm = np.linalg.norm(emb, axis=1)
         unit = emb / np.maximum(norm, 1e-30)[:, None]
         return pa.table({
+            "coarse_key": pa.array(
+                (key.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
             "bucket_key": pa.array(key, pa.int64()),
             id_col: t.column(id_col),
             "unit": pa.array(list(unit), pa.list_(pa.float64())),
@@ -491,26 +534,45 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        m = len(g)
+    def pairs_of_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        """All sign-buckets of one coarse group in a single call: sort by
+        bucket_key, then one matmul per >=2-row segment (no per-sign-bucket
+        micro-groups — a 12-plane LSH has up to 4096 buckets and a larger
+        corpus wants more planes)."""
         empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                               "id_b": pd.Series(dtype=np.int64),
                               "cosine": pd.Series(dtype=np.float64)})
-        if m < 2:
+        if len(g) < 2:
             return empty
-        U = np.stack(g["unit"].to_numpy())
+        keys = g["bucket_key"].to_numpy()
         ids = g[id_col].to_numpy()
-        sim = U @ U.T
-        ia, ib = np.triu_indices(m, k=1)
-        keep = sim[ia, ib] >= threshold
-        if not keep.any():
+        order = np.lexsort((ids, keys))
+        k_s = keys[order]
+        ids_s = ids[order]
+        U = np.stack(g["unit"].to_numpy())[order]
+        seg_start = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        seg_end = np.r_[seg_start[1:], k_s.shape[0]]
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(seg_start, seg_end):
+            m = e - s
+            if m < 2:
+                continue
+            sim = U[s:e] @ U[s:e].T
+            ia, ib = np.triu_indices(m, k=1)
+            keep = sim[ia, ib] >= threshold
+            if not keep.any():
+                continue
+            ia, ib = ia[keep], ib[keep]
+            a, b = ids_s[s + ia], ids_s[s + ib]
+            swap = a > b
+            out_a.append(np.where(swap, b, a))
+            out_b.append(np.where(swap, a, b))
+            out_c.append(sim[ia, ib])
+        if not out_a:
             return empty
-        ia, ib = ia[keep], ib[keep]
-        a, b = ids[ia], ids[ib]
-        swap = a > b
-        return pd.DataFrame({"id_a": np.where(swap, b, a),
-                             "id_b": np.where(swap, a, b),
-                             "cosine": sim[ia, ib]})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
 
-    return bucketed.groupby("bucket_key").map_groups(pairs_of_group,
+    return bucketed.groupby("coarse_key").map_groups(pairs_of_coarse,
                                                      batch_format="pandas")

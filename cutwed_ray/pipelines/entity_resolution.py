@@ -161,15 +161,19 @@ def score_pairs(ds_files, cfg: PipelineConfig, n_buckets: int = 64,
 
 
 def _score_pairs_carry(tok, cfg: PipelineConfig, n_buckets: int, conc: int):
+    """Carry-strategy scoring: tokens ride the shuffle; each bucket task
+    generates AND scores its pairs.  Runs as elastic TASKS (ScoreBucket
+    holds only the config — an autoscaling actor pool here ramps from 1
+    and idles the cluster for the first half of the stage, measured in
+    round 1)."""
     exploded = tok.map_batches(ExplodeBands(cfg, n_buckets), batch_format="pyarrow")
-    pairs = exploded.groupby("bucket").map_groups(
-        ScoreBucket,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        concurrency=(1, conc),
-        num_cpus=1,
-    )
-    return pairs
+    scorer = ScoreBucket(cfg)
+
+    def score_group(t: pa.Table, _sb=scorer) -> pa.Table:
+        return _sb(t)
+
+    return exploded.groupby("bucket").map_groups(
+        score_group, batch_format="pyarrow", num_cpus=1)
 
 
 def _store_budget_bytes(cfg: PipelineConfig) -> int:
@@ -424,9 +428,13 @@ def _score_with_checkpoint(ds_files, cfg, n_buckets, n_shards, metrics):
             return t.filter(pa.array(t.column("bucket").to_numpy() % _n == _s))
 
         shard_rows = exploded.map_batches(in_shard, batch_format="pyarrow")
+        _sb = ScoreBucket(cfg)
+
+        def score_group(t: pa.Table, _sb=_sb) -> pa.Table:
+            return _sb(t)
+
         pairs = shard_rows.groupby("bucket").map_groups(
-            ScoreBucket, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", concurrency=(1, cfg.scorer_concurrency), num_cpus=1,
+            score_group, batch_format="pyarrow", num_cpus=1,
         )
         out_dir = os.path.join(ckpt, "pairs", f"shard={s}")
         tmp_dir = os.path.join(ckpt, "pairs", f"_tmp_shard={s}")
