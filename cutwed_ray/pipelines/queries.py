@@ -475,6 +475,61 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_hopping(sf_dir: str):
+    """HOPPING event-time windows (1-hour length, 30-minute hop): every
+    event lands in exactly two windows, emitted per batch as two rows
+    (vectorized), then the usual partial-agg -> tiny global groupby.  The
+    overlap factor is the window/hop ratio — bounded amplification, no
+    per-window state."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    HOP_US = 1_800_000_000        # 30 min in microseconds
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t.column("ts"), pa.timestamp("us")).to_numpy().astype(
+            "datetime64[us]").view(np.int64)
+        bucket = (ts_us // HOP_US) * HOP_US
+        val = t.column("value").to_numpy()
+        vu = np.floor(val * 1e6 + 0.5).astype(np.int64)
+        starts = np.r_[bucket, bucket - HOP_US]
+        vus = np.r_[vu, vu]
+        df = pd.DataFrame({"window_start": starts, "value_u": vus}).groupby(
+            "window_start", as_index=False).agg(
+            n_events=("value_u", "size"), sum_value_u=("value_u", "sum"))
+        return _pt(df)
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("window_start")
+             .aggregate(Sum("n_events", alias_name="n_events"),
+                        Sum("sum_value_u", alias_name="sum_value_u")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ws = t.column("window_start").to_numpy().astype(np.int64)
+        return pa.table({
+            "window_start": pa.array(ws.view("datetime64[us]"), pa.timestamp("us")),
+            "n_events": pa.array(t.column("n_events").to_numpy().astype(np.int64),
+                                 pa.int64()),
+            "sum_value_u": pa.array(
+                t.column("sum_value_u").to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_HOPPING = """
+WITH ex AS (
+  SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - w * 1800)
+              AS TIMESTAMP) AS window_start,
+         CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS value_u
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS w)
+)
+SELECT window_start, count(*) AS n_events,
+       CAST(SUM(value_u) AS BIGINT) AS sum_value_u
+FROM ex GROUP BY window_start
+"""
+
+
 def q_events_type_stats(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
@@ -811,6 +866,7 @@ QUERIES = {
     "event_type_users": q_event_type_users,
     "supplier_region_revenue": q_supplier_region_revenue,
     "events_hourly": q_events_hourly,
+    "events_hopping": q_events_hopping,
     "events_type_stats": q_events_type_stats,
     "events_sessions": q_events_sessions,
     "knn_bruteforce": q_knn_bruteforce,
@@ -843,6 +899,7 @@ ORACLE = {
     "event_type_users": SQL_EVENT_TYPE_USERS,
     "supplier_region_revenue": SQL_SUPPLIER_REGION_REVENUE,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_hopping": SQL_EVENTS_HOPPING,
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,

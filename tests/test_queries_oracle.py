@@ -67,7 +67,8 @@ SQL_CHECKED = ["exact_dedup", "exact_cluster", "block_counts", "token_counts",
                "text_quality", "lang_doc_stats", "top_docs_by_chars",
                "lineitem_pricing", "orders_by_segment", "orders_topk_per_cust",
                "event_type_users", "supplier_region_revenue",
-               "events_hourly", "events_type_stats", "events_sessions",
+               "events_hourly", "events_hopping", "events_type_stats",
+               "events_sessions",
                "knn_bruteforce", "ngram_jaccard", "embedding_near_dup_exact"]
 
 
