@@ -99,6 +99,114 @@ def knn_bruteforce(ds, query_ids, k: int = 5, id_col: str = "vec_id",
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def train_ivf_centroids(ds, n_centroids: int = 64, sample_size: int = 4096,
+                        iters: int = 10, seed: int = 13,
+                        emb_col: str = "embedding") -> np.ndarray:
+    """Seeded mini k-means (spherical) on a BOUNDED sample — the driver
+    pull is capped at ``sample_size`` rows regardless of corpus size (the
+    coarse quantizer needs only a sketch of the distribution).
+    Returns unit-norm centroids (n_centroids, dim)."""
+    samp = ds.limit(sample_size).to_pandas()
+    X = _unit(np.stack([np.asarray(e, dtype=np.float64) for e in samp[emb_col]]))
+    n = X.shape[0]
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(n, size=min(n_centroids, n), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(C.shape[0]):
+            members = X[assign == c]
+            if members.shape[0]:
+                C[c] = members.mean(axis=0)
+        C = _unit(C)
+    return C
+
+
+def knn_ivf(ds, query_ids, k: int = 5, id_col: str = "vec_id",
+            emb_col: str = "embedding", n_centroids: int = 64,
+            n_probe: int = 8, sample_size: int = 4096, seed: int = 13):
+    """IVF-flat ANN: a coarse k-means quantizer partitions vectors into
+    cells; each query scans only its ``n_probe`` nearest cells.
+
+    The scale path companion to ``knn_lsh``: cells are the shuffle key
+    (bounded count = n_centroids, so the per-cell ``map_groups`` is never
+    a micro-group storm), centroids + query matrix are broadcast once, and
+    recall/latency trade via n_probe.  Approximate (recall < 1).
+    Returns the knn_bruteforce schema.
+    """
+    import ray
+
+    C = train_ivf_centroids(ds, n_centroids, sample_size, seed=seed,
+                            emb_col=emb_col)
+    C_ref = ray.put(C)
+
+    def assign_cell(t: pa.Table) -> pa.Table:
+        Cm = ray.get(C_ref)
+        X = _unit(_emb_matrix(t, emb_col))
+        cell = (X @ Cm.T).argmax(axis=1).astype(np.int64)
+        return t.append_column("ivf_cell", pa.array(cell, pa.int64()))
+
+    celled = ds.map_batches(assign_cell, batch_format="pyarrow")
+
+    qset = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
+
+    def is_query(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        return t.filter(pa.array(np.isin(ids, qset)))
+
+    q_tbl = pa.concat_tables(
+        [ray.get(r) for r in
+         ds.map_batches(is_query, batch_format="pyarrow").to_arrow_refs()])
+    Q = _emb_matrix(q_tbl, emb_col)
+    qids = q_tbl.column(id_col).to_numpy().astype(np.int64)
+    qsim = _unit(Q) @ C.T                         # (nq, n_centroids)
+    n_probe = min(n_probe, C.shape[0])
+    probe_cells = np.argpartition(-qsim, kth=n_probe - 1, axis=1)[:, :n_probe]
+    probe: dict[int, list[int]] = {}
+    for qi, q in enumerate(qids.tolist()):
+        for c in probe_cells[qi].tolist():
+            probe.setdefault(int(c), []).append(q)
+    qemb = {int(q): Q[i] for i, q in enumerate(qids)}
+    probe_ref = ray.put((probe, qemb))
+
+    def cell_scorer(g: pd.DataFrame) -> pd.DataFrame:
+        p, qe = ray.get(probe_ref)
+        key = int(g["ivf_cell"].iloc[0])
+        qids_here = p.get(key, [])
+        empty = pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                              "neighbor_id": pd.Series(dtype=np.int64),
+                              "cosine": pd.Series(dtype=np.float64)})
+        if not qids_here:
+            return empty
+        X = _unit(np.stack(
+            [np.asarray(e, dtype=np.float64) for e in g[emb_col].to_numpy()]))
+        ids = g[id_col].to_numpy()
+        Qm = _unit(np.stack([qe[q] for q in qids_here]))
+        sim = X @ Qm.T
+        out = []
+        for qi, q in enumerate(qids_here):
+            kk = min(k + 1, len(ids))
+            top = np.argpartition(-sim[:, qi], kth=kk - 1)[:kk]
+            out.append(pd.DataFrame({
+                "query_id": np.full(kk, q, dtype=np.int64),
+                "neighbor_id": ids[top].astype(np.int64),
+                "cosine": sim[top, qi],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    local = celled.groupby("ivf_cell").map_groups(cell_scorer,
+                                                  batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.neighbor_id != g.query_id]
+        g = g.drop_duplicates(subset=["neighbor_id"])
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 class LshBucketStage:
     """Random-hyperplane bucket assignment (seeded planes built once per actor)."""
 

@@ -102,6 +102,33 @@ FROM documents
 """
 
 
+#: BPE-ish pretokenizer regex (GPT-2-style contractions / letter runs /
+#: digit runs / punctuation runs, ASCII classes, no lookahead so RE2 —
+#: used by BOTH Arrow's count_substring_regex and DuckDB — accepts it)
+BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s"
+
+
+def q_token_counts_bpe(sf_dir: str):
+    """BPE-ish regex token counts: one vectorized RE2 kernel per batch
+    (pyarrow count_substring_regex) — the 'compiled regex inside
+    map_batches' pattern; both sides run RE2 so the counts hash-match."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t.column("text"), BPE_PAT),
+                    pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"), "n_bpe_tokens": n})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS_BPE = (
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
+    + BPE_PAT.replace("'", "''")
+    + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
+)
+
+
 def q_text_quality(sf_dir: str):
     from cutwed_ray.ops.text import text_quality
 
@@ -772,6 +799,14 @@ def q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, KNN_QUERY_IDS, k=KNN_K)
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF-flat ANN scale path (coarse k-means cells, n_probe scan)."""
+    from cutwed_ray.ops.ann import knn_ivf
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(ds, KNN_QUERY_IDS, k=KNN_K, n_centroids=16, n_probe=6)
+
+
 def q_twed_pairs_documents(sf_dir: str):
     """Flagship scorer over the documents table: text -> token series ->
     blocked TWED candidate pairs (not SQL-expressible)."""
@@ -857,6 +892,7 @@ QUERIES = {
     "exact_cluster": q_exact_cluster,
     "block_counts": q_block_counts,
     "token_counts": q_token_counts,
+    "token_counts_bpe": q_token_counts_bpe,
     "text_quality": q_text_quality,
     "lang_doc_stats": q_lang_doc_stats,
     "top_docs_by_chars": q_top_docs_by_chars,
@@ -879,6 +915,7 @@ QUERIES = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "twed_pairs_documents": q_twed_pairs_documents,
     "er_clusters_documents": q_er_clusters_documents,
     "link_documents": q_link_documents,
@@ -890,6 +927,7 @@ ORACLE = {
     "exact_cluster": SQL_EXACT_CLUSTER,
     "block_counts": SQL_BLOCK_COUNTS,
     "token_counts": SQL_TOKEN_COUNTS,
+    "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_doc_stats": SQL_LANG_DOC_STATS,
     "top_docs_by_chars": SQL_TOP_DOCS,

@@ -148,6 +148,26 @@ class TestAnn:
             recalls.append(len(b & l) / max(len(b), 1))
         assert np.mean(recalls) >= 0.5, recalls   # approximate by design
 
+    def test_ivf_recall_vs_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from cutwed_ray.ops.ann import knn_bruteforce, knn_ivf
+
+        rng = np.random.RandomState(21)
+        emb = rng.randn(400, 24)
+        t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                      "embedding": pa.array(list(emb), pa.list_(pa.float64()))})
+        ds = rd.from_arrow(t)
+        qids = list(range(5))
+        bf = knn_bruteforce(ds, qids, k=5).to_pandas()
+        ivf = knn_ivf(ds, qids, k=5, n_centroids=16, n_probe=6).to_pandas()
+        recalls = []
+        for q in qids:
+            b = set(bf[bf.query_id == q].neighbor_id)
+            v = set(ivf[ivf.query_id == q].neighbor_id)
+            recalls.append(len(b & v) / max(len(b), 1))
+        assert np.mean(recalls) >= 0.5, recalls   # approximate by design
+
     def test_bruteforce_matches_numpy(self, ray_session):
         import ray.data as rd
 

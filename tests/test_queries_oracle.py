@@ -64,6 +64,7 @@ def _compare(name, q, sql, con):
 
 
 SQL_CHECKED = ["exact_dedup", "exact_cluster", "block_counts", "token_counts",
+               "token_counts_bpe",
                "text_quality", "lang_doc_stats", "top_docs_by_chars",
                "lineitem_pricing", "orders_by_segment", "orders_topk_per_cust",
                "event_type_users", "supplier_region_revenue",
@@ -80,8 +81,9 @@ def test_oracle_parity(contract, oracle_con, name):
 
 
 ROWS_ONLY = ["minhash_near_dup", "simhash_near_dup", "embedding_near_dup",
-             "langid", "fingerprint", "knn_lsh", "twed_pairs_documents",
-             "er_clusters_documents", "link_documents", "media_features"]
+             "langid", "fingerprint", "knn_lsh", "knn_ivf",
+             "twed_pairs_documents", "er_clusters_documents",
+             "link_documents", "media_features"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
