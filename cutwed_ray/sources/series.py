@@ -165,26 +165,19 @@ def score_series_dataset(ds, nu: float, lamb: float, degree: int = 2,
         "pj": pa.array(ib.astype(np.int64), pa.int64()),
     }))
 
-    class Score:
-        def __init__(self):
-            self.X, self.TX, self.lens, self.ids = ray.get(store)
+    def score(t: pa.Table, _nu=nu, _lamb=lamb, _deg=degree) -> pa.Table:
+        # elastic TASKS: the pool is plasma-mapped per worker via ray.get
+        # (zero-copy, ~µs) — no actor pool to size or deadlock
+        X, TX, lens, ids = ray.get(store)
+        pi = t.column("pi").to_numpy()
+        pj = t.column("pj").to_numpy()
+        d = _sweep(X, TX, lens, X, TX, lens, pi, pj, _nu, _lamb, _deg)
+        return pa.table({
+            "id_a": pa.array(ids[pi], pa.int64()),
+            "id_b": pa.array(ids[pj], pa.int64()),
+            "twed": pa.array(d, pa.float64()),
+        })
 
-        def __call__(self, t: pa.Table, _nu=nu, _lamb=lamb, _deg=degree) -> pa.Table:
-            pi = t.column("pi").to_numpy()
-            pj = t.column("pj").to_numpy()
-            d = _sweep(self.X, self.TX, self.lens, self.X, self.TX, self.lens,
-                       pi, pj, _nu, _lamb, _deg)
-            return pa.table({
-                "id_a": pa.array(self.ids[pi], pa.int64()),
-                "id_b": pa.array(self.ids[pj], pa.int64()),
-                "twed": pa.array(d, pa.float64()),
-            })
-
-    # materialize the (tiny) pair-index table before the fixed actor pool —
-    # a fixed pool against a live upstream reserves every CPU and deadlocks
-    # small clusters
-    pairs = pairs.repartition(max(concurrency * 2, 2)).materialize()
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    pool = max(1, min(concurrency, cpus - 1))
-    return pairs.map_batches(Score, batch_format="pyarrow", batch_size=4096,
-                             concurrency=pool, num_cpus=1)
+    pairs = pairs.repartition(max(concurrency * 2, 2))
+    return pairs.map_batches(score, batch_format="pyarrow", batch_size=4096,
+                             num_cpus=1)

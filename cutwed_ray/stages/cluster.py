@@ -133,11 +133,13 @@ def assign_clusters(ds, mapping: dict[int, int], id_col: str = "row_id"):
     return ds.map_batches(label, batch_format="pyarrow")
 
 
-def join_partitions(cap: int = 64) -> int:
+def join_partitions(cap: int = 512) -> int:
     """Join/shuffle partition count sized to the cluster: each hash-join
     partition is backed by an aggregator ACTOR holding 1 CPU, so asking for
     more partitions than CPUs deadlocks small clusters (measured: a
-    num_partitions=32 join never starts on a 4-CPU session)."""
+    num_partitions=32 join never starts on a 4-CPU session).  On big
+    clusters partitions track CPUs up to ``cap`` (512 keeps partition
+    state per aggregator modest on a 256-node/8k-CPU cluster)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
