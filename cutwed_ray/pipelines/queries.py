@@ -775,12 +775,24 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.35)
 
 
-def q_langid(sf_dir: str):
+_LANGID_SLOT: list = [None]
+
+
+def _langid_batch(t: pa.Table) -> pa.Table:
+    # per-worker lazy singleton (tables built once per process): a
+    # task-pool stage with cached state — no actor pool to ramp up.  A
+    # REAL model (fasttext-sized) would justify the actor-pool form
+    # instead; see DecodeImageStage for that pattern.
     from cutwed_ray.ops.text import LangIdStage
 
+    if _LANGID_SLOT[0] is None:
+        _LANGID_SLOT[0] = LangIdStage()
+    return _LANGID_SLOT[0](t)
+
+
+def q_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    return ds.map_batches(LangIdStage, batch_format="pyarrow",
-                          concurrency=(1, 2)).select_columns(
+    return ds.map_batches(_langid_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "lang", "lang_pred", "lang_score"])
 
 
