@@ -153,7 +153,9 @@ def score_pairs(ds_files, cfg: PipelineConfig, n_buckets: int = 64,
     """
     global LAST_SCORE_STRATEGY
     conc = scorer_concurrency or cfg.scorer_concurrency
-    if strategy == "broadcast":
+    if strategy in ("broadcast", "auto"):
+        # "auto" is an explicit alias: broadcast self-guards with the byte
+        # budget and falls back to carry beyond it
         return _score_pairs_broadcast(ds_files, cfg, n_buckets, conc)
     LAST_SCORE_STRATEGY = "carry"
     tok = tokenize(ds_files, cfg)
@@ -386,6 +388,43 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
         with open(os.path.join(output_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=2, default=str)
     return ERResult(clusters=clustered, pairs=pairs, metrics=metrics)
+
+
+def topk_twed_neighbors(pairs_ds, k: int = 5, n_buckets: int = 64):
+    """Per-row top-k nearest neighbors from the scored pair table
+    (SURVEY.md §2.6: 'top-k nearest neighbors per file').
+
+    Each undirected pair is emitted in both directions, shuffled on a
+    COARSE bucket of the source id, and every bucket resolves all its
+    sources' top-ks in one vectorized pandas pass (sort + groupby.head) —
+    no per-source micro-groups.  Returns (row_id, neighbor_id, twed_norm,
+    rank) with rank 1..k, ties broken by neighbor id.
+    """
+    import pandas as pd
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy()
+        b = t.column("id_b").to_numpy()
+        d = t.column("twed_norm").to_numpy()
+        src = np.r_[a, b]
+        bkt = (src.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({
+            "nbkt": pa.array(bkt, pa.int32()),
+            "row_id": pa.array(src, pa.int64()),
+            "neighbor_id": pa.array(np.r_[b, a], pa.int64()),
+            "twed_norm": pa.array(np.r_[d, d], pa.float64()),
+        })
+
+    def topk_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["row_id", "twed_norm", "neighbor_id"], kind="stable")
+        g = g.groupby("row_id", as_index=False, sort=False).head(k).copy()
+        g["rank"] = (g.groupby("row_id", sort=False).cumcount() + 1).astype(np.int64)
+        return g[["row_id", "neighbor_id", "twed_norm", "rank"]]
+
+    return (pairs_ds.map_batches(both_dirs, batch_format="pyarrow")
+                    .groupby("nbkt")
+                    .map_groups(topk_bucket, batch_format="pandas"))
 
 
 # ------------------------------------------------------------- checkpointing

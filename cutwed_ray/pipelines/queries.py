@@ -840,6 +840,15 @@ def q_twed_pairs_documents(sf_dir: str):
                        n_buckets=16)
 
 
+def q_twed_topk_neighbors(sf_dir: str):
+    """Top-k TWED neighbors per document from the scored pair table
+    (SURVEY §2.6 'top-k nearest neighbors per file'; not SQL-expressible —
+    depends on the TWED scorer)."""
+    from cutwed_ray.pipelines.entity_resolution import topk_twed_neighbors
+
+    return topk_twed_neighbors(q_twed_pairs_documents(sf_dir), k=3)
+
+
 def q_er_clusters_documents(sf_dir: str):
     """Full flagship pipeline over documents: clusters with sha256 invariant."""
     from cutwed_ray.pipelines.entity_resolution import default_config, run_er
@@ -929,6 +938,7 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "twed_pairs_documents": q_twed_pairs_documents,
+    "twed_topk_neighbors": q_twed_topk_neighbors,
     "er_clusters_documents": q_er_clusters_documents,
     "link_documents": q_link_documents,
     "media_features": q_media_features,

@@ -169,3 +169,40 @@ class TestCheckpointResume:
         with open(os.path.join(ckpt, "manifest.json")) as f:
             h2 = json.load(f)["config_hash"]
         assert h1 != h2
+
+
+class TestTopkNeighbors:
+    def test_topk_matches_pandas_bruteforce(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from cutwed_ray.pipelines.entity_resolution import topk_twed_neighbors
+
+        rng = np.random.RandomState(3)
+        n_pairs = 500
+        a = rng.randint(0, 60, n_pairs)
+        b = rng.randint(0, 60, n_pairs)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        df = pd.DataFrame({"id_a": lo, "id_b": hi,
+                           "twed_norm": rng.rand(lo.shape[0])}).drop_duplicates(
+            subset=["id_a", "id_b"])
+        t = pa.table({"id_a": pa.array(df.id_a.to_numpy(), pa.int64()),
+                      "id_b": pa.array(df.id_b.to_numpy(), pa.int64()),
+                      "twed_norm": pa.array(df.twed_norm.to_numpy(), pa.float64())})
+        got = topk_twed_neighbors(rd.from_arrow(t), k=3).to_pandas()
+        got = got.sort_values(["row_id", "rank"]).reset_index(drop=True)
+
+        und = pd.concat([
+            df.rename(columns={"id_a": "row_id", "id_b": "neighbor_id"}),
+            df.rename(columns={"id_b": "row_id", "id_a": "neighbor_id"}),
+        ])
+        und = und.sort_values(["row_id", "twed_norm", "neighbor_id"])
+        want = und.groupby("row_id").head(3)
+        assert len(got) == len(want)
+        w = want.sort_values(["row_id", "twed_norm", "neighbor_id"]).reset_index(drop=True)
+        assert (got.row_id.values == w.row_id.values).all()
+        assert (got.neighbor_id.values == w.neighbor_id.values).all()
+        assert np.allclose(got.twed_norm.values, w.twed_norm.values)
+        assert (got.groupby("row_id")["rank"].min() == 1).all()

@@ -82,8 +82,8 @@ def test_oracle_parity(contract, oracle_con, name):
 
 ROWS_ONLY = ["minhash_near_dup", "simhash_near_dup", "embedding_near_dup",
              "langid", "fingerprint", "knn_lsh", "knn_ivf",
-             "twed_pairs_documents", "er_clusters_documents",
-             "link_documents", "media_features"]
+             "twed_pairs_documents", "twed_topk_neighbors",
+             "er_clusters_documents", "link_documents", "media_features"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
