@@ -28,13 +28,16 @@ def _unit(x: np.ndarray) -> np.ndarray:
 
 
 class BruteForceScorer:
-    """Actor-pool stage: per data batch, cosine of every row against the
-    broadcast query matrix; emits each query's local top-k of the batch."""
+    """Per data batch: cosine of every row against the broadcast query
+    matrix; emits each query's local top-k of the batch.  Used as a plain
+    map_batches FUNCTION via ``make_bruteforce_fn`` (elastic tasks, query
+    matrix plasma-mapped once per worker) — kept as a class for direct /
+    actor use."""
 
     def __init__(self, queries_ref, k: int, id_col: str, emb_col: str):
         import ray
 
-        q = ray.get(queries_ref)                 # once per actor
+        q = ray.get(queries_ref)                 # once per worker
         self.qids = q["ids"]
         self.Q = _unit(q["emb"])                 # (nq, dim)
         self.k = k
@@ -54,6 +57,21 @@ class BruteForceScorer:
             "neighbor_id": pa.array(ids[rows], pa.int64()),
             "cosine": pa.array(sim[rows, qcol], pa.float64()),
         })
+
+
+_BF_SLOT: list = [None, None]
+
+
+def make_bruteforce_fn(queries_ref, k: int, id_col: str, emb_col: str):
+    key = (queries_ref.hex(), k, id_col, emb_col)
+
+    def score(t: pa.Table) -> pa.Table:
+        if _BF_SLOT[0] != key:
+            _BF_SLOT[0] = key
+            _BF_SLOT[1] = BruteForceScorer(queries_ref, k, id_col, emb_col)
+        return _BF_SLOT[1](t)
+
+    return score
 
 
 def knn_bruteforce(ds, query_ids, k: int = 5, id_col: str = "vec_id",
@@ -82,10 +100,8 @@ def knn_bruteforce(ds, query_ids, k: int = 5, id_col: str = "vec_id",
     })
 
     local = ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_args=(queries_ref, k, id_col, emb_col),
+        make_bruteforce_fn(queries_ref, k, id_col, emb_col),
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
         num_cpus=1,
     )
 
@@ -278,37 +294,34 @@ def knn_lsh(ds, query_ids, k: int = 5, id_col: str = "vec_id",
     qemb = {int(q): Q[i] for i, q in enumerate(qids)}
     probe_ref = ray.put((probe, qemb))
 
-    class BucketScorer:
-        def __init__(self):
-            p, qe = ray.get(probe_ref)
-            self.probe, self.qemb = p, qe
-
-        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-            key = int(g["ann_bucket"].iloc[0])
-            qids_here = self.probe.get(key, [])
-            empty = pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
-                                  "neighbor_id": pd.Series(dtype=np.int64),
-                                  "cosine": pd.Series(dtype=np.float64)})
-            if not qids_here:
-                return empty
-            X = _unit(np.stack(
-                [np.asarray(e, dtype=np.float64) for e in g[emb_col].to_numpy()]))
-            ids = g[id_col].to_numpy()
-            Qm = _unit(np.stack([self.qemb[q] for q in qids_here]))
-            sim = X @ Qm.T
-            out = []
-            for qi, q in enumerate(qids_here):
-                kk = min(k + 1, len(ids))
-                top = np.argpartition(-sim[:, qi], kth=kk - 1)[:kk]
-                out.append(pd.DataFrame({
-                    "query_id": np.full(kk, q, dtype=np.int64),
-                    "neighbor_id": ids[top].astype(np.int64),
-                    "cosine": sim[top, qi],
-                }))
-            return pd.concat(out, ignore_index=True)
+    def bucket_scorer(g: pd.DataFrame) -> pd.DataFrame:
+        # plain task fn: the probe map is plasma-mapped per worker (~µs)
+        probe_m, qemb_m = ray.get(probe_ref)
+        key = int(g["ann_bucket"].iloc[0])
+        qids_here = probe_m.get(key, [])
+        empty = pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                              "neighbor_id": pd.Series(dtype=np.int64),
+                              "cosine": pd.Series(dtype=np.float64)})
+        if not qids_here:
+            return empty
+        X = _unit(np.stack(
+            [np.asarray(e, dtype=np.float64) for e in g[emb_col].to_numpy()]))
+        ids = g[id_col].to_numpy()
+        Qm = _unit(np.stack([qemb_m[q] for q in qids_here]))
+        sim = X @ Qm.T
+        out = []
+        for qi, q in enumerate(qids_here):
+            kk = min(k + 1, len(ids))
+            top = np.argpartition(-sim[:, qi], kth=kk - 1)[:kk]
+            out.append(pd.DataFrame({
+                "query_id": np.full(kk, q, dtype=np.int64),
+                "neighbor_id": ids[top].astype(np.int64),
+                "cosine": sim[top, qi],
+            }))
+        return pd.concat(out, ignore_index=True)
 
     local = bucketed.groupby("ann_bucket").map_groups(
-        BucketScorer, batch_format="pandas", concurrency=(1, 4), num_cpus=1)
+        bucket_scorer, batch_format="pandas", num_cpus=1)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g.neighbor_id != g.query_id]
