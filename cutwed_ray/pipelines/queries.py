@@ -376,6 +376,108 @@ GROUP BY r.r_name
 """
 
 
+def q_order_priority_revenue(sf_dir: str):
+    """BIG-BIG distributed hash join: lineitem JOIN orders on the order key
+    (neither side broadcast — both shuffle on the join key), then a tiny
+    per-priority rollup.  Partition count tracks cluster CPUs
+    (join_partitions); revenue in exact integer cents."""
+    from ray.data.aggregate import Sum
+
+    from cutwed_ray.stages.cluster import join_partitions
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def li_cents(t: pa.Table) -> pa.Table:
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * (1 - t.column("l_discount").to_numpy()) * 100 + 0.5)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "rev_cents": pa.array(rev.astype(np.int64), pa.int64()),
+        })
+
+    joined = li.map_batches(li_cents, batch_format="pyarrow").join(
+        orders, join_type="inner", num_partitions=join_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("o_orderpriority", as_index=False).agg(
+            n_items=("rev_cents", "size"), revenue_cents=("rev_cents", "sum"))
+        return _pt(df)
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby("o_orderpriority")
+                 .aggregate(Sum("n_items", alias_name="n_items"),
+                            Sum("revenue_cents", alias_name="revenue_cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "n_items": pa.array(t.column("n_items").to_numpy().astype(np.int64),
+                                pa.int64()),
+            "revenue_cents": pa.array(
+                t.column("revenue_cents").to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDER_PRIORITY_REVENUE = """
+SELECT o.o_orderpriority, count(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_docs_quality_filter(sf_dir: str):
+    """Composed quality-filter pipeline (the C4-style filtering shape):
+    keep documents passing vectorized quality thresholds — the building
+    block of a training-data cleaning pass, expressed as one streaming
+    map_batches filter over the quality features."""
+    from cutwed_ray.ops.text import text_quality
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        q = text_quality(t)
+        n_tok = q.column("n_tokens").to_numpy()
+        punct = q.column("punct_ratio").to_numpy()
+        digit = q.column("digit_ratio").to_numpy()
+        mean_tok = q.column("mean_token_len").to_numpy()
+        mask = (n_tok >= 20) & (punct <= 0.1) & (digit <= 0.2) \
+            & (mean_tok >= 4.0) & (mean_tok <= 12.0)
+        out = t.filter(pa.array(mask))
+        return pa.table({"doc_id": out.column("doc_id")})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# NOTE: the punct class matches SQL_TEXT_QUALITY's proven simplification
+# (the synthetic documents contain no punctuation outside .,;:!?)
+SQL_DOCS_QUALITY_FILTER = r"""
+WITH q AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+              ELSE length(regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+         END AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+           / GREATEST(n_chars, 1) AS punct_ratio,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+           / GREATEST(n_chars, 1) AS digit_ratio,
+         length(regexp_replace(text, '\s', '', 'g'))::DOUBLE AS non_ws_chars
+  FROM documents
+)
+SELECT doc_id FROM q
+WHERE n_tokens >= 20 AND punct_ratio <= 0.1 AND digit_ratio <= 0.2
+  AND non_ws_chars / GREATEST(n_tokens, 1) >= 4.0
+  AND non_ws_chars / GREATEST(n_tokens, 1) <= 12.0
+"""
+
+
 def q_orders_topk_per_cust(sf_dir: str):
     """Window-function shape: top-3 orders by price per customer.
 
@@ -919,6 +1021,8 @@ QUERIES = {
     "top_docs_by_chars": q_top_docs_by_chars,
     "lineitem_pricing": q_lineitem_pricing,
     "orders_by_segment": q_orders_by_segment,
+    "order_priority_revenue": q_order_priority_revenue,
+    "docs_quality_filter": q_docs_quality_filter,
     "orders_topk_per_cust": q_orders_topk_per_cust,
     "event_type_users": q_event_type_users,
     "supplier_region_revenue": q_supplier_region_revenue,
@@ -955,6 +1059,8 @@ ORACLE = {
     "top_docs_by_chars": SQL_TOP_DOCS,
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+    "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
+    "docs_quality_filter": SQL_DOCS_QUALITY_FILTER,
     "orders_topk_per_cust": SQL_ORDERS_TOPK,
     "event_type_users": SQL_EVENT_TYPE_USERS,
     "supplier_region_revenue": SQL_SUPPLIER_REGION_REVENUE,

@@ -66,7 +66,8 @@ def _compare(name, q, sql, con):
 SQL_CHECKED = ["exact_dedup", "exact_cluster", "block_counts", "token_counts",
                "token_counts_bpe",
                "text_quality", "lang_doc_stats", "top_docs_by_chars",
-               "lineitem_pricing", "orders_by_segment", "orders_topk_per_cust",
+               "lineitem_pricing", "orders_by_segment", "order_priority_revenue",
+               "docs_quality_filter", "orders_topk_per_cust",
                "event_type_users", "supplier_region_revenue",
                "events_hourly", "events_hopping", "events_type_stats",
                "events_sessions",
