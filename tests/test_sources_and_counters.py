@@ -111,3 +111,18 @@ class TestDroppedPairCounter:
         res = run_er(rd.from_arrow(files), default_config(threshold=0.25),
                      n_buckets=4)
         assert res.metrics.get("n_dropped_pairs", 0) == 0
+
+
+def test_addids_matches_tokenize_identity():
+    """AddIdsStage (light labeling, no tokenization) must produce the SAME
+    row_id and sha256 as TokenizeStage — the id-compatibility invariant
+    that lets outputs of either stage be joined/compared."""
+    from cutwed_ray.corpus import generate_corpus
+    from cutwed_ray.pipelines.entity_resolution import default_config
+    from cutwed_ray.stages.tokenize import AddIdsStage, TokenizeStage
+
+    files, _ = generate_corpus(50, seed=9)
+    full = TokenizeStage(default_config())(files)
+    light = AddIdsStage()(files)
+    assert full.column("row_id").to_pylist() == light.column("row_id").to_pylist()
+    assert full.column("sha256").to_pylist() == light.column("sha256").to_pylist()
