@@ -60,6 +60,11 @@ def tune_data_context(num_cpus: int) -> None:
 
     ctx = DataContext.get_current()
     ctx.default_hash_shuffle_parallelism = max(8, min(64, 2 * num_cpus))
+    # Ray's default read parallelism target of 200 blocks turns every
+    # downstream map stage into ~200 tiny tasks (measured: the explode
+    # stage spent 2.2 s wall on 0.7 core-s of work — pure scheduling);
+    # 4 blocks/CPU keeps pipelining without the task-storm
+    ctx.read_op_min_num_blocks = max(8, min(200, 4 * num_cpus))
     ctx.enable_progress_bars = False
 
 
