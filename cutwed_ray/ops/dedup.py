@@ -258,7 +258,8 @@ def _doc_shingle_sets(batch: pa.Table, text_col: str, id_col: str, k: int):
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, threshold: float = 0.5,
-                        n_buckets: int = 64):
+                        n_buckets: int = 64,
+                        max_doc_freq: int | None = None):
     """EXACT n-gram (k-token shingle) Jaccard near-dup pairs >= threshold.
 
     Complete (no LSH recall loss): any pair with Jaccard > 0 shares a
@@ -280,6 +281,14 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     the DuckDB oracle in pipelines/queries.py: tokens = whitespace runs,
     shingles = distinct k-grams, docs with < k tokens contribute ONE
     order-insensitive whole-doc shingle.
+
+    ``max_doc_freq`` is the hot-shingle guard for corpus scale: shingle
+    segments with more than this many documents generate no candidates
+    (a df-D stop-shingle contributes O(D^2) pairs).  Capping trades
+    recall — a pair is lost only if EVERY shared shingle is hot — and is
+    NEVER silent: capped candidates are counted in the ``n_dropped_hot``
+    column riding on the output (sum it for the pipeline-wide bound).
+    Default None = exact (the oracle-comparable mode).
     """
     import pandas as pd
     import ray
@@ -350,16 +359,40 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         sh_s, ids_s = sh[order], ids[order]
         seg_new = np.r_[True, sh_s[1:] != sh_s[:-1]]
         sizes = np.diff(np.r_[np.nonzero(seg_new)[0], sh_s.shape[0]])
+        n_dropped = 0
+        if max_doc_freq is not None:
+            hot = sizes > max_doc_freq
+            if hot.any():
+                n_dropped = int((sizes[hot].astype(np.int64)
+                                 * (sizes[hot] - 1) // 2).sum())
+                keep_rows = ~np.repeat(hot, sizes)
+                sh_s, ids_s = sh_s[keep_rows], ids_s[keep_rows]
+                sizes = sizes[~hot]
         ia, ib = _pairs_within_segments(sizes)
+        cols = {"id_a": pd.Series(dtype=np.int64),
+                "id_b": pd.Series(dtype=np.int64),
+                "shingle": pd.Series(dtype=np.int64)}
         if ia.size == 0:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64),
-                                 "shingle": pd.Series(dtype=np.int64)})
-        a, b = ids_s[ia], ids_s[ib]
-        swap = a > b
-        return pd.DataFrame({"id_a": np.where(swap, b, a),
-                             "id_b": np.where(swap, a, b),
-                             "shingle": sh_s[ia]})
+            out = pd.DataFrame(cols)
+        else:
+            a, b = ids_s[ia], ids_s[ib]
+            swap = a > b
+            out = pd.DataFrame({"id_a": np.where(swap, b, a),
+                                "id_b": np.where(swap, a, b),
+                                "shingle": sh_s[ia]})
+        if max_doc_freq is not None:
+            drop_col = np.zeros(max(len(out), 1), dtype=np.int64)
+            drop_col[0] = n_dropped
+            if len(out) == 0 and n_dropped:
+                # counter-carrier row so the drop count is never lost
+                out = pd.DataFrame({"id_a": [np.int64(-1)],
+                                    "id_b": [np.int64(-1)],
+                                    "shingle": [np.int64(0)]})
+            if len(out):
+                out["n_dropped_hot"] = drop_col[: len(out)]
+            else:
+                out["n_dropped_hot"] = pd.Series(dtype=np.int64)
+        return out
 
     cand = exploded.groupby("bkt").map_groups(gen_pairs, batch_format="pandas")
 
@@ -372,9 +405,12 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         id_a = t.column("id_a").to_numpy()
         id_b = t.column("id_b").to_numpy()
         shg = t.column("shingle").to_numpy().view(np.uint64)
-        pa_i = np.searchsorted(ids, id_a)
-        pb_i = np.searchsorted(ids, id_b)
+        real = id_a >= 0                       # -1 rows are counter carriers
+        pa_i = np.searchsorted(ids, np.where(real, id_a, ids[0] if ids.size else 0))
+        pb_i = np.searchsorted(ids, np.where(real, id_b, ids[0] if ids.size else 0))
         for x in range(len(t)):
+            if not real[x]:
+                continue
             a, b = pa_i[x], pb_i[x]
             sa = vals[starts[a]: starts[a] + lens[a]]
             sb = vals[starts[b]: starts[b] + lens[b]]
@@ -387,11 +423,26 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 out_a.append(id_a[x])
                 out_b.append(id_b[x])
                 out_j.append(round(j, 8))
-        return pa.table({
+        out = pa.table({
             "id_a": pa.array(np.asarray(out_a, dtype=np.int64), pa.int64()),
             "id_b": pa.array(np.asarray(out_b, dtype=np.int64), pa.int64()),
             "jaccard": pa.array(np.asarray(out_j, dtype=np.float64), pa.float64()),
         })
+        if max_doc_freq is not None:
+            # carry this batch's hot-drop count; a -1/-1 carrier row keeps
+            # it even when no pair survives (Sum('n_dropped_hot') is exact)
+            total = int(t.column("n_dropped_hot").to_numpy().sum())
+            if len(out) == 0 and total:
+                out = pa.table({
+                    "id_a": pa.array([-1], pa.int64()),
+                    "id_b": pa.array([-1], pa.int64()),
+                    "jaccard": pa.array([0.0], pa.float64()),
+                })
+            dc = np.zeros(max(len(out), 0), dtype=np.int64)
+            if len(out):
+                dc[0] = total
+            out = out.append_column("n_dropped_hot", pa.array(dc, pa.int64()))
+        return out
 
     return cand.map_batches(verify, batch_format="pyarrow")
 

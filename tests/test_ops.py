@@ -94,6 +94,26 @@ class TestDedupOps:
         assert got.id_b.tolist() == [w[1] for w in want]
         assert np.allclose(got.jaccard.to_numpy(), [w[2] for w in want], atol=0)
 
+    def test_ngram_jaccard_hot_shingle_cap(self, ray_session, doc_table):
+        """With a df cap, hot shingles generate no candidates and the
+        dropped-candidate count surfaces (no silent caps); the uncapped
+        call remains the exact reference."""
+        import ray.data as rd
+
+        from cutwed_ray.ops.dedup import ngram_jaccard_pairs
+
+        capped = ngram_jaccard_pairs(rd.from_arrow(doc_table), k=3,
+                                     threshold=0.5, max_doc_freq=2).to_pandas()
+        exact = ngram_jaccard_pairs(rd.from_arrow(doc_table), k=3,
+                                    threshold=0.5).to_pandas()
+        assert "n_dropped_hot" in capped.columns
+        real = capped[capped.id_a >= 0]
+        # capped output is a subset of the exact pair set
+        exact_set = set(map(tuple, exact[["id_a", "id_b"]].to_numpy()))
+        assert set(map(tuple, real[["id_a", "id_b"]].to_numpy())) <= exact_set
+        # the doc_table plants exact dups -> df>=2 shingles exist -> drops
+        assert capped.n_dropped_hot.sum() > 0
+
     def test_simhash_hamming_zero_for_exact(self, ray_session, doc_table):
         import ray.data as rd
 
