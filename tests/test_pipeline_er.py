@@ -206,3 +206,26 @@ class TestTopkNeighbors:
         assert (got.neighbor_id.values == w.neighbor_id.values).all()
         assert np.allclose(got.twed_norm.values, w.twed_norm.values)
         assert (got.groupby("row_id")["rank"].min() == 1).all()
+
+
+class TestOutputSink:
+    def test_output_dir_writes_clusters_and_metrics(self, ray_session, tmp_path):
+        """run_er(output_dir=...) persists partitioned Parquet clusters +
+        metrics.json; reading back matches the in-memory result."""
+        import json
+
+        import ray.data as rd
+
+        files, _ = generate_corpus(200, seed=11)
+        out = str(tmp_path / "er_out")
+        res = run_er(rd.from_arrow(files), default_config(threshold=0.25),
+                     n_buckets=8, output_dir=out)
+        back = rd.read_parquet(os.path.join(out, "clusters"))
+        assert back.count() == files.num_rows
+        assert "cluster_id" in back.schema().names
+        with open(os.path.join(out, "metrics.json")) as f:
+            m = json.load(f)
+        assert m["n_pairs_scored"] == res.metrics["n_pairs_scored"]
+        # multiple files (partitioned output, never one giant file)
+        import glob
+        assert len(glob.glob(os.path.join(out, "clusters", "*.parquet"))) >= 1
