@@ -19,10 +19,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    """Zero-copy removal of file-level pandas schema metadata: the testdata
+    parquet carries a pandas dict in its schema, which makes blocks
+    unhashable in Ray's reduce-side schema dedup (warning spam)."""
+    return t.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns) \
+        .map_batches(_strip_meta, batch_format="pyarrow")
 
 
 def _pt(df: "pd.DataFrame") -> pa.Table:
