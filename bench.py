@@ -122,9 +122,10 @@ def run_bench() -> dict:
     results["er_documents"] = round(time.time() - t0, 3)
 
     # --- representative operator queries ---
-    for name in ["minhash_near_dup", "simhash_near_dup", "token_counts",
-                 "text_quality", "lineitem_pricing", "events_hourly",
-                 "knn_bruteforce", "exact_dedup"]:
+    for name in ["minhash_near_dup", "simhash_near_dup", "ngram_jaccard",
+                 "token_counts", "text_quality", "lineitem_pricing",
+                 "order_priority_revenue", "events_hourly", "events_hopping",
+                 "knn_bruteforce", "knn_ivf", "exact_dedup"]:
         t0 = time.time()
         out = Q.QUERIES[name](SF_DIR)
         # consume without materializing to the driver more than needed

@@ -404,8 +404,13 @@ def q_order_priority_revenue(sf_dir: str):
             "rev_cents": pa.array(rev.astype(np.int64), pa.int64()),
         })
 
+    # partition count sized by DATA as well as CPUs: each hash-join
+    # partition is an aggregator actor whose startup dominates tiny joins
+    # (parquet metadata row-count is free, no read)
+    n_li = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    parts = max(2, min(join_partitions(), n_li // 50_000 + 1))
     joined = li.map_batches(li_cents, batch_format="pyarrow").join(
-        orders, join_type="inner", num_partitions=join_partitions(),
+        orders, join_type="inner", num_partitions=parts,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
