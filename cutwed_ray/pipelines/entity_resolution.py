@@ -4,18 +4,25 @@ Lifecycle (BASELINE.json north_star; the Ray-Data re-expression of the
 reference's batch entry point, SURVEY.md §3.2):
 
     read_parquet(repo_files)
-      -> map_batches(TokenizeStage)            content -> token-hash series
-      -> map_batches(ExplodeBands)             rows x bands -> block rows
-      -> groupby(bucket).map_groups(ScoreBucket)   THE shuffle + actor-pool scorer
-      -> filter(twed_norm <= tau)              edges
-      -> union-find / label propagation        clusters
+      -> map_batches(TokenizeStage).materialize()   content -> token series
+         (ONE materialization, reused for scoring AND the final labeling)
+      -> [broadcast] token store assembled in a remote task (plasma)
+      -> map_batches(ExplodeBands)             rows x bands -> light block rows
+      -> groupby(bucket).map_groups(PairGen)   THE shuffle -> candidate pairs
+      -> map_batches(score)                    elastic TASKS, store from plasma
+         (one streaming execution end-to-end: no materialize/repartition
+          barriers between shuffle, pairgen and scoring)
+      -> filter(twed_norm <= tau)              edges (single driver pass)
+      -> union-find (small) / distributed label propagation + join (large)
       -> write_parquet
 
-Every stage is a streaming Arrow-batch transform; nothing materializes the
-corpus except the blocking shuffle itself.  With ``cfg.checkpoint_dir``
-set, the tokenized table and each scoring shard are checkpointed to
-Parquet with a manifest, and a rerun skips completed shards
-(deterministic shard = bucket % n_shards).
+The carry strategy instead ships token lists through the shuffle and
+scores inside the bucket tasks (ScoreBucket) — the beyond-store-budget
+path; ``strategy="broadcast"``/``"auto"`` self-guards on a byte budget
+and falls back to carry.  With ``cfg.checkpoint_dir`` set, the tokenized
+table and each scoring shard are checkpointed to Parquet with a manifest,
+and a rerun skips completed shards (deterministic shard = bucket %
+n_shards).
 """
 
 from __future__ import annotations
