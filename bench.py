@@ -100,11 +100,12 @@ def run_bench() -> dict:
                          minhash_perms=18, minhash_bands=6)
     er_sec = float("inf")
     n_passes = int(os.environ.get("GRAFT_BENCH_PASSES", "2"))
-    # bucket granularity: measured best is 2 blocks/CPU on small clusters
-    # (fewer, larger pairgen groups amortize better) and 4/CPU from 16 CPUs
-    # up (finer blocks even out per-bucket skew in the scoring stage:
-    # 15.1 s vs 18.1 s at 16 CPUs, while 8 beats 16 buckets at 4 CPUs)
-    n_buckets = 2 * NUM_CPUS if NUM_CPUS <= 8 else 4 * NUM_CPUS
+    # bucket granularity, measured across 4/16/32 CPUs: 2 blocks/CPU on
+    # small clusters (fewer, larger pairgen groups amortize better: 8 beats
+    # 16 buckets at 4 CPUs), then a flat 64 (64 beats 32 at 16 CPUs — finer
+    # blocks even out per-bucket scoring skew — and 64 beats 128 at 32:
+    # buckets below ~2x score_batch_pairs under-fill scoring batches)
+    n_buckets = 2 * NUM_CPUS if NUM_CPUS <= 8 else 64
     for _ in range(n_passes):
         t0 = time.time()
         res = run_er(rd.read_parquet(f"{cpath}/files"), cfg,
