@@ -27,6 +27,40 @@ def _unit(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=1), 1e-30)[:, None]
 
 
+def _merge_topk(local, k: int, dedup: bool):
+    """Merge per-partition local top-ks into global per-query top-ks.
+
+    Shuffle key is a COARSE hash bucket of query_id (count tracks cluster
+    CPUs), and one vectorized pandas sort + groupby.head resolves every
+    query of a bucket — one Python call per bucket, not per query, so the
+    merge survives 10^6-query batches.  ``dedup`` drops multi-probe /
+    multi-cell repeats of the same (query, neighbor).  Deterministic:
+    cosine desc, neighbor_id asc tie-break; rank 1..k."""
+    from cutwed_ray.stages.cluster import coarse_buckets
+
+    nb = np.uint64(coarse_buckets())
+
+    def add_qbkt(t: pa.Table) -> pa.Table:
+        q = t.column("query_id").to_numpy()
+        b = ((q.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % nb
+             ).astype(np.int32)
+        return t.append_column("qbkt", pa.array(b, pa.int32()))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.neighbor_id != g.query_id]
+        if dedup:
+            g = g.drop_duplicates(subset=["query_id", "neighbor_id"])
+        g = g.sort_values(["query_id", "cosine", "neighbor_id"],
+                          ascending=[True, False, True], kind="stable")
+        g = g.groupby("query_id", as_index=False, sort=False).head(k).copy()
+        g["rank"] = (g.groupby("query_id", sort=False).cumcount() + 1).astype(np.int64)
+        return g[["query_id", "neighbor_id", "cosine", "rank"]]
+
+    return (local.map_batches(add_qbkt, batch_format="pyarrow")
+                 .groupby("qbkt")
+                 .map_groups(merge_bucket, batch_format="pandas"))
+
+
 class BruteForceScorer:
     """Per data batch: cosine of every row against the broadcast query
     matrix; emits each query's local top-k of the batch.  Used as a plain
@@ -105,14 +139,7 @@ def knn_bruteforce(ds, query_ids, k: int = 5, id_col: str = "vec_id",
         num_cpus=1,
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g.neighbor_id != g.query_id]
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(local, k, dedup=False)
 
 
 def train_ivf_centroids(ds, n_centroids: int = 64, sample_size: int = 4096,
@@ -212,15 +239,7 @@ def knn_ivf(ds, query_ids, k: int = 5, id_col: str = "vec_id",
     local = celled.groupby("ivf_cell").map_groups(cell_scorer,
                                                   batch_format="pandas")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g.neighbor_id != g.query_id]
-        g = g.drop_duplicates(subset=["neighbor_id"])
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(local, k, dedup=True)
 
 
 class LshBucketStage:
@@ -323,12 +342,4 @@ def knn_lsh(ds, query_ids, k: int = 5, id_col: str = "vec_id",
     local = bucketed.groupby("ann_bucket").map_groups(
         bucket_scorer, batch_format="pandas", num_cpus=1)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g.neighbor_id != g.query_id]
-        g = g.drop_duplicates(subset=["neighbor_id"])
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(local, k, dedup=True)

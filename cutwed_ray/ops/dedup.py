@@ -58,7 +58,10 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
     def combiner(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().groupby(["h1", "h2", text_col], as_index=False).agg(
+        # dropna=False: pandas' default silently drops a null-text group,
+        # but SQL GROUP BY (and the old groupby('text_hash') path) keep it
+        df = t.to_pandas().groupby(["h1", "h2", text_col], as_index=False,
+                                   dropna=False).agg(
             _min_id=(id_col, "min"), _n=(id_col, "size"))
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
@@ -141,7 +144,7 @@ class MinHashStage:
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       k: int = 3, n_perms: int = 16, n_bands: int = 8,
                       verify_jaccard: float | None = None,
-                      n_buckets: int = 64):
+                      n_buckets: int | None = None):
     """Candidate near-duplicate pairs via MinHash-LSH banding.
 
     shingle -> minhash -> band -> COARSE-bucket groupby -> per-band-hash
@@ -156,8 +159,10 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     import pandas as pd
 
+    from cutwed_ray.stages.cluster import coarse_buckets
     from cutwed_ray.stages.pairgen import _pairs_within_segments
 
+    n_buckets = n_buckets or coarse_buckets()
     sigs = ds.map_batches(MinHashStage(text_col, k, n_perms, n_bands),
                           batch_format="pyarrow")
     band_cols = [f"band_{i}" for i in range(n_bands)]
@@ -258,7 +263,7 @@ def _doc_shingle_sets(batch: pa.Table, text_col: str, id_col: str, k: int):
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, threshold: float = 0.5,
-                        n_buckets: int = 64,
+                        n_buckets: int | None = None,
                         max_doc_freq: int | None = None):
     """EXACT n-gram (k-token shingle) Jaccard near-dup pairs >= threshold.
 
@@ -293,7 +298,10 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     import pandas as pd
     import ray
 
+    from cutwed_ray.stages.cluster import coarse_buckets
     from cutwed_ray.stages.hashing import _ranges
+
+    n_buckets = n_buckets or coarse_buckets()
 
     # ---- broadcast store of per-doc sorted unique shingle sets ----
     def shingle_tbl(t: pa.Table) -> pa.Table:
@@ -469,7 +477,7 @@ def add_simhash(batch: pa.Table, text_col: str = "text",
 
 
 def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                           max_hamming: int = 3, n_buckets: int = 64):
+                           max_hamming: int = 3, n_buckets: int | None = None):
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
     Banding: 4 x 16-bit chunks — any pair within Hamming 3 shares at least
@@ -481,8 +489,10 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     import pandas as pd
 
+    from cutwed_ray.stages.cluster import coarse_buckets
     from cutwed_ray.stages.pairgen import _pairs_within_segments
 
+    n_buckets = n_buckets or coarse_buckets()
     hashed = ds.map_batches(lambda t: add_simhash(t, text_col), batch_format="pyarrow")
 
     def explode(t: pa.Table) -> pa.Table:
@@ -549,7 +559,8 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
                              emb_col: str = "embedding",
                              threshold: float = 0.95,
                              n_planes: int = 12, seed: int = 7,
-                             exhaustive: bool = False):
+                             exhaustive: bool = False,
+                             n_buckets: int | None = None):
     """Near-duplicate pairs by embedding cosine similarity >= threshold.
 
     Scale path (default): random-hyperplane LSH — rows sharing a sign
@@ -559,6 +570,10 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
     Returns (id_a, id_b, cosine float64).
     """
     import pandas as pd
+
+    from cutwed_ray.stages.cluster import coarse_buckets
+
+    n_buckets = n_buckets or coarse_buckets()
 
     def bucketize(t: pa.Table) -> pa.Table:
         emb = np.asarray(t.column(emb_col).combine_chunks().values.to_numpy(
@@ -577,7 +592,8 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
         unit = emb / np.maximum(norm, 1e-30)[:, None]
         return pa.table({
             "coarse_key": pa.array(
-                (key.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
+                (key.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32),
+                pa.int32()),
             "bucket_key": pa.array(key, pa.int64()),
             id_col: t.column(id_col),
             "unit": pa.array(list(unit), pa.list_(pa.float64())),

@@ -402,7 +402,7 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
     return ERResult(clusters=clustered, pairs=pairs, metrics=metrics)
 
 
-def topk_twed_neighbors(pairs_ds, k: int = 5, n_buckets: int = 64):
+def topk_twed_neighbors(pairs_ds, k: int = 5, n_buckets: int | None = None):
     """Per-row top-k nearest neighbors from the scored pair table
     (SURVEY.md §2.6: 'top-k nearest neighbors per file').
 
@@ -413,6 +413,10 @@ def topk_twed_neighbors(pairs_ds, k: int = 5, n_buckets: int = 64):
     rank) with rank 1..k, ties broken by neighbor id.
     """
     import pandas as pd
+
+    from cutwed_ray.stages.cluster import coarse_buckets
+
+    n_buckets = n_buckets or coarse_buckets()
 
     def both_dirs(t: pa.Table) -> pa.Table:
         a = t.column("id_a").to_numpy()

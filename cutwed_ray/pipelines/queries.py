@@ -33,6 +33,17 @@ def _read(sf_dir: str, table: str, columns=None):
         .map_batches(_strip_meta, batch_format="pyarrow")
 
 
+def _key_bucket(keys: np.ndarray) -> np.ndarray:
+    """Coarse int32 hash bucket of an int key column for per-key map_groups
+    shuffles; bucket count tracks cluster CPUs (stages.cluster.coarse_buckets)
+    so per-group size scales with the cluster, not the corpus."""
+    from cutwed_ray.stages.cluster import coarse_buckets
+
+    nb = np.uint64(coarse_buckets())
+    return ((keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % nb
+            ).astype(np.int32)
+
+
 def _pt(df: "pd.DataFrame") -> pa.Table:
     """pandas -> Arrow with the pandas schema metadata stripped: the dict
     metadata makes block schemas unhashable in Ray's reduce-side dedup
@@ -405,9 +416,12 @@ def q_order_priority_revenue(sf_dir: str):
         })
 
     # partition count sized by DATA as well as CPUs: each hash-join
-    # partition is an aggregator actor whose startup dominates tiny joins
-    # (parquet metadata row-count is free, no read)
-    n_li = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    # partition is an aggregator actor whose startup dominates tiny joins.
+    # Row count straight from the parquet footer — an earlier version ran
+    # a Dataset count() here, which executed a full single-column scan
+    import pyarrow.parquet as pq
+
+    n_li = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
     parts = max(2, min(join_partitions(), n_li // 50_000 + 1))
     joined = li.map_batches(li_cents, batch_format="pyarrow").join(
         orders, join_type="inner", num_partitions=parts,
@@ -502,9 +516,7 @@ def q_orders_topk_per_cust(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
     def bucketize(t: pa.Table) -> pa.Table:
-        ck = t.column("o_custkey").to_numpy()
-        b = (ck.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-             >> np.uint64(58)).astype(np.int32)
+        b = _key_bucket(t.column("o_custkey").to_numpy())
         return t.append_column("cbkt", pa.array(b, pa.int32()))
 
     def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -725,9 +737,7 @@ def q_events_sessions(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
     def bucketize(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy()
-        b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-             >> np.uint64(58)).astype(np.int32)
+        b = _key_bucket(t.column("user_id").to_numpy())
         return t.append_column("ubkt", pa.array(b, pa.int32()))
 
     def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:

@@ -146,6 +146,23 @@ def join_partitions(cap: int = 512) -> int:
     return max(2, min(cap, cpus))
 
 
+def coarse_buckets(cap: int = 4096) -> int:
+    """Coarse-bucket count for per-key ``map_groups`` ops (minhash/simhash/
+    ngram candidate buckets, top-k-per-key, ANN merges): enough groups to
+    keep every CPU busy, few enough that each group is one well-filled
+    vectorized call.  Measured on this box: 64 is the sweet spot from 16 to
+    32 CPUs (128 under-fills batches, 32 leaves skew); below 8 CPUs fewer,
+    larger groups amortize better (2/CPU).  Scales as 2x CPUs beyond 32 so
+    per-group size tracks the cluster, not the corpus (a fixed 64 would
+    make each group corpus/64 rows on a 256-node cluster)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    if cpus <= 8:
+        return max(2, 2 * cpus)
+    return min(cap, max(64, 2 * cpus))
+
+
 def assign_clusters_ds(ds, labels_ds, id_col: str = "row_id",
                        num_partitions: int | None = None):
     """Distributed cluster labeling for the at-scale path: left-outer join
