@@ -224,17 +224,15 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             th, off = tokenize_content(
                 pa.array(texts_s[uniq].tolist(), pa.string()), 1 << 20)
             sh, sh_off = shingle_hashes(th, off, k)
-            sets = [np.unique(sh[sh_off[u]: sh_off[u + 1]])
-                    for u in range(uniq.shape[0])]
+            # per-doc sorted unique sets + one vectorized sort-merge
+            # intersection pass over all candidate pairs (no per-pair loop)
+            uvals, uoff = _unique_per_doc(sh, sh_off)
+            ulens = uoff[1:] - uoff[:-1]
             la = np.searchsorted(uniq, ia)
             lb = np.searchsorted(uniq, ib)
-            jac = np.empty(ia.shape[0])
-            for x in range(ia.shape[0]):
-                si, sj = sets[la[x]], sets[lb[x]]
-                inter = np.intersect1d(si, sj, assume_unique=True).shape[0]
-                union = si.shape[0] + sj.shape[0] - inter
-                jac[x] = inter / max(union, 1)
-            out["jaccard"] = jac
+            inter, _ = _pair_intersections(la, lb, uoff[:-1], ulens, uvals)
+            union = ulens[la] + ulens[lb] - inter
+            out["jaccard"] = inter / np.maximum(union, 1)
             out = out[out.jaccard >= verify_jaccard]
         return out
 
@@ -242,7 +240,91 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                                                batch_format="pandas")
 
 
+# ------------------------------------------------- vectorized set intersect
+def _pair_intersections(pa_i: np.ndarray, pb_i: np.ndarray,
+                        starts: np.ndarray, lens: np.ndarray,
+                        vals: np.ndarray,
+                        max_rows: int = 1 << 22):
+    """Per-pair sorted-set intersection sizes + min common element,
+    vectorized (no per-pair Python loop).
+
+    Sets are slices ``vals[starts[d]: starts[d]+lens[d]]`` of a flat array
+    of per-doc SORTED UNIQUE values; pairs are (pa_i[x], pb_i[x]) doc
+    indices.  One global lexsort over all (pair, value) rows finds
+    duplicates (a value common to both sides of a pair appears exactly
+    twice adjacently), so intersection counts fall out of one bincount and
+    the min common value out of the first duplicate per pair.  Work is
+    sliced to <= ``max_rows`` expanded rows per lexsort — giant sort
+    temporaries in a cold worker cost more than the extra passes
+    (measured: page-fault bound beyond ~100 MB).
+
+    Returns (inter (P,) int64, min_common (P,) uint64 — 2^64-1 when the
+    intersection is empty).
+    """
+    from cutwed_ray.stages.hashing import _ranges
+
+    P = pa_i.shape[0]
+    inter = np.zeros(P, dtype=np.int64)
+    min_common = np.full(P, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    if P == 0:
+        return inter, min_common
+    la = lens[pa_i]
+    lb = lens[pb_i]
+    rows = la + lb
+    # slice boundaries on cumulative expanded rows
+    cum = np.cumsum(rows)
+    lo = 0
+    while lo < P:
+        base = cum[lo - 1] if lo else 0
+        hi = int(np.searchsorted(cum, base + max_rows, side="left")) + 1
+        hi = max(hi, lo + 1)
+        hi = min(hi, P)
+        s = slice(lo, hi)
+        pidx = np.arange(hi - lo, dtype=np.int64)
+        # _ranges assumes all counts >= 1 — drop empty sets first
+        nza, nzb = la[s] > 0, lb[s] > 0
+        va = vals[_ranges(starts[pa_i[s]][nza], la[s][nza])]
+        vb = vals[_ranges(starts[pb_i[s]][nzb], lb[s][nzb])]
+        p = np.r_[np.repeat(pidx[nza], la[s][nza]),
+                  np.repeat(pidx[nzb], lb[s][nzb])]
+        v = np.r_[va, vb]
+        order = np.lexsort((v, p))
+        p_s, v_s = p[order], v[order]
+        dup = (p_s[1:] == p_s[:-1]) & (v_s[1:] == v_s[:-1])
+        if dup.any():
+            p_c = p_s[:-1][dup]
+            inter[s] += np.bincount(p_c, minlength=hi - lo)
+            # rows are sorted by (pair, value): the first duplicate per
+            # pair carries the pair's minimum common value
+            u, first = np.unique(p_c, return_index=True)
+            min_common[lo + u] = v_s[:-1][dup][first]
+        lo = hi
+    return inter, min_common
+
+
+def _unique_per_doc(vals: np.ndarray, offsets: np.ndarray):
+    """Flat per-doc value lists -> per-doc SORTED UNIQUE flat lists.
+    Returns (uvals, uoff) with uoff of len n_docs+1.  Fully vectorized
+    (one global lexsort + adjacent-dedup)."""
+    n = offsets.shape[0] - 1
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), offsets[1:] - offsets[:-1])
+    order = np.lexsort((vals, doc_of))
+    d_s, v_s = doc_of[order], vals[order]
+    keep = np.ones(d_s.size, dtype=bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+    du, vu = d_s[keep], v_s[keep]
+    counts = np.bincount(du, minlength=n)
+    uoff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=uoff[1:])
+    return vu, uoff
+
+
 # ----------------------------------------------------------- n-gram Jaccard
+#: strategy actually used by the last ``ngram_jaccard_pairs`` call on this
+#: driver ("exact" | "minhash_lsh_fallback") — budget-fallback observability
+LAST_NGRAM_STRATEGY: str | None = None
+
+
 def _doc_shingle_sets(batch: pa.Table, text_col: str, id_col: str, k: int):
     """Per-doc UNIQUE k-token shingle hashes: (ids, flat uniq hashes, offsets)."""
     th, offsets = tokenize_content(batch.column(text_col), max_tokens=1 << 20)
@@ -264,7 +346,8 @@ def _doc_shingle_sets(batch: pa.Table, text_col: str, id_col: str, k: int):
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, threshold: float = 0.5,
                         n_buckets: int | None = None,
-                        max_doc_freq: int | None = None):
+                        max_doc_freq: int | None = None,
+                        store_max_bytes: int | None = None):
     """EXACT n-gram (k-token shingle) Jaccard near-dup pairs >= threshold.
 
     Complete (no LSH recall loss): any pair with Jaccard > 0 shares a
@@ -286,6 +369,13 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     the DuckDB oracle in pipelines/queries.py: tokens = whitespace runs,
     shingles = distinct k-grams, docs with < k tokens contribute ONE
     order-insensitive whole-doc shingle.
+
+    The broadcast shingle store is BYTE-BUDGETED (``store_max_bytes``,
+    default 25% of the object store): beyond the budget this call falls
+    back to ``minhash_lsh_pairs(verify_jaccard=threshold)`` — banded LSH
+    whose verify runs inside bucket groups with no global store, the
+    any-scale path (approximate: banding can miss pairs, so the fallback
+    is observable via ``LAST_NGRAM_STRATEGY``).
 
     ``max_doc_freq`` is the hot-shingle guard for corpus scale: shingle
     segments with more than this many documents generate no candidates
@@ -313,6 +403,22 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     shingled = ds.map_batches(shingle_tbl, batch_format="pyarrow").materialize()
+
+    # byte-budget guard (mirrors entity_resolution._store_budget_bytes): the
+    # broadcast store is ONE plasma object of every doc's shingle set —
+    # beyond the budget, fall back to banded LSH with in-bucket verification
+    global LAST_NGRAM_STRATEGY
+    if store_max_bytes is None:
+        mem = ray.cluster_resources().get("object_store_memory", 4 << 30) \
+            if ray.is_initialized() else 4 << 30
+        store_max_bytes = int(mem * 0.25)
+    if shingled.size_bytes() > store_max_bytes:
+        LAST_NGRAM_STRATEGY = "minhash_lsh_fallback"
+        return minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col, k=k,
+                                 n_perms=16, n_bands=8,
+                                 verify_jaccard=threshold,
+                                 n_buckets=n_buckets)
+    LAST_NGRAM_STRATEGY = "exact"
 
     def _build(*tables):
         ids_l, vals_l, lens_l = [], [], []
@@ -404,37 +510,28 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     cand = exploded.groupby("bkt").map_groups(gen_pairs, batch_format="pandas")
 
-    # ---- exact verify against the broadcast store ----
+    # ---- exact verify against the broadcast store (vectorized: one
+    # sort-merge intersection pass per batch, no per-pair Python loop) ----
     def verify(t: pa.Table) -> pa.Table:
         store = ray.get(store_ref)
         ids, starts, lens, vals = (store["ids"], store["starts"],
                                    store["lens"], store["vals"])
-        out_a, out_b, out_j = [], [], []
         id_a = t.column("id_a").to_numpy()
         id_b = t.column("id_b").to_numpy()
         shg = t.column("shingle").to_numpy().view(np.uint64)
         real = id_a >= 0                       # -1 rows are counter carriers
-        pa_i = np.searchsorted(ids, np.where(real, id_a, ids[0] if ids.size else 0))
-        pb_i = np.searchsorted(ids, np.where(real, id_b, ids[0] if ids.size else 0))
-        for x in range(len(t)):
-            if not real[x]:
-                continue
-            a, b = pa_i[x], pb_i[x]
-            sa = vals[starts[a]: starts[a] + lens[a]]
-            sb = vals[starts[b]: starts[b] + lens[b]]
-            common = np.intersect1d(sa, sb, assume_unique=True)
-            if common.size == 0 or common.min() != shg[x]:
-                continue          # dedup: pair survives only at min shingle
-            union = sa.shape[0] + sb.shape[0] - common.size
-            j = common.size / max(union, 1)
-            if j >= threshold:
-                out_a.append(id_a[x])
-                out_b.append(id_b[x])
-                out_j.append(round(j, 8))
+        ra, rb, rs = id_a[real], id_b[real], shg[real]
+        pa_i = np.searchsorted(ids, ra)
+        pb_i = np.searchsorted(ids, rb)
+        inter, min_common = _pair_intersections(pa_i, pb_i, starts, lens, vals)
+        union = lens[pa_i] + lens[pb_i] - inter
+        jac = inter / np.maximum(union, 1)
+        # dedup: pair survives only in its minimum common shingle's bucket
+        keep = (inter > 0) & (min_common == rs) & (jac >= threshold)
         out = pa.table({
-            "id_a": pa.array(np.asarray(out_a, dtype=np.int64), pa.int64()),
-            "id_b": pa.array(np.asarray(out_b, dtype=np.int64), pa.int64()),
-            "jaccard": pa.array(np.asarray(out_j, dtype=np.float64), pa.float64()),
+            "id_a": pa.array(ra[keep], pa.int64()),
+            "id_b": pa.array(rb[keep], pa.int64()),
+            "jaccard": pa.array(np.round(jac[keep], 8), pa.float64()),
         })
         if max_doc_freq is not None:
             # carry this batch's hot-drop count; a -1/-1 carrier row keeps

@@ -114,6 +114,56 @@ class TestDedupOps:
         # the doc_table plants exact dups -> df>=2 shingles exist -> drops
         assert capped.n_dropped_hot.sum() > 0
 
+    def test_pair_intersections_vs_naive(self):
+        """The vectorized sort-merge intersection kernel equals per-pair
+        intersect1d on random sorted-unique sets (counts AND min-common),
+        across slice boundaries (tiny max_rows forces multiple slices)."""
+        from cutwed_ray.ops.dedup import _pair_intersections
+
+        rng = np.random.RandomState(3)
+        n_docs = 30
+        sets = [np.unique(rng.randint(0, 60, rng.randint(0, 25)).astype(np.uint64))
+                for _ in range(n_docs)]
+        lens = np.array([s.size for s in sets], dtype=np.int64)
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        vals = np.concatenate(sets) if lens.sum() else np.zeros(0, np.uint64)
+        pa_i = rng.randint(0, n_docs, 200).astype(np.int64)
+        pb_i = rng.randint(0, n_docs, 200).astype(np.int64)
+        for max_rows in (7, 1 << 22):
+            inter, mc = _pair_intersections(pa_i, pb_i, starts, lens, vals,
+                                            max_rows=max_rows)
+            for x in range(pa_i.size):
+                common = np.intersect1d(sets[pa_i[x]], sets[pb_i[x]],
+                                        assume_unique=True)
+                assert inter[x] == common.size
+                want_mc = common.min() if common.size else np.uint64(
+                    0xFFFFFFFFFFFFFFFF)
+                assert mc[x] == want_mc
+
+    def test_ngram_budget_fallback(self, ray_session, doc_table):
+        """A store budget smaller than the shingle table silently falls
+        back to verified minhash-LSH: observable via LAST_NGRAM_STRATEGY,
+        same output schema, and (on this easy corpus) a pair subset of the
+        exact result with matching jaccard semantics."""
+        import ray.data as rd
+
+        from cutwed_ray.ops import dedup
+
+        exact = dedup.ngram_jaccard_pairs(rd.from_arrow(doc_table), k=3,
+                                          threshold=0.5).to_pandas()
+        assert dedup.LAST_NGRAM_STRATEGY == "exact"
+        fb = dedup.ngram_jaccard_pairs(rd.from_arrow(doc_table), k=3,
+                                       threshold=0.5,
+                                       store_max_bytes=1).to_pandas()
+        assert dedup.LAST_NGRAM_STRATEGY == "minhash_lsh_fallback"
+        assert list(fb.columns) == ["id_a", "id_b", "jaccard"]
+        exact_set = set(map(tuple, exact[["id_a", "id_b"]].to_numpy()))
+        fb_set = set(map(tuple, fb[["id_a", "id_b"]].to_numpy()))
+        # banding may lose pairs but must not invent them (verify is exact)
+        assert fb_set <= exact_set
+        assert len(fb_set) >= 0.5 * len(exact_set)
+
     def test_simhash_hamming_zero_for_exact(self, ray_session, doc_table):
         import ray.data as rd
 
