@@ -356,26 +356,31 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     * candidates: (shingle, doc) rows grouped by a COARSE shingle bucket
       (vectorized segment pairing inside ~n_buckets groups — no
-      per-shingle micro-groups);
-    * each pair is kept only at its MINIMUM common shingle (cross-shingle
-      dedup without a second shuffle);
-    * verification: exact sorted-set intersection against a broadcast
-      shingle-set store (`ray.put` once, mapped per worker) — the same
-      small-side-broadcast pattern as the TWED token store, and like it
-      subject to an object-store budget at extreme scale (the LSH-banded
-      ``minhash_lsh_pairs`` is the beyond-budget path).
+      per-shingle micro-groups), pre-deduplicated per bucket to unique
+      (id_a, id_b) rows carrying their common-shingle COUNT;
+    * the inverted index emits exactly one candidate row per common
+      shingle, so ``sum(n_common)`` over buckets IS the exact intersection
+      size — a light two-key ``groupby.aggregate`` replaces per-pair set
+      intersections entirely (the round-2 design re-intersected the full
+      sets once per COMMON SHINGLE: quadratic in similarity, measured 490
+      core-s on the sf0.1 bench vs ~2 s for this counting scheme);
+    * finish: union = |A| + |B| - inter needs only per-doc SET SIZES — a
+      16-byte/doc broadcast (ids + lens), ~500x smaller than the full
+      shingle store the round-2 path shipped.
 
     Returns (id_a, id_b, jaccard float64 rounded to 8).  Semantics mirror
     the DuckDB oracle in pipelines/queries.py: tokens = whitespace runs,
     shingles = distinct k-grams, docs with < k tokens contribute ONE
     order-insensitive whole-doc shingle.
 
-    The broadcast shingle store is BYTE-BUDGETED (``store_max_bytes``,
-    default 25% of the object store): beyond the budget this call falls
-    back to ``minhash_lsh_pairs(verify_jaccard=threshold)`` — banded LSH
-    whose verify runs inside bucket groups with no global store, the
-    any-scale path (approximate: banding can miss pairs, so the fallback
-    is observable via ``LAST_NGRAM_STRATEGY``).
+    The broadcast store is BYTE-BUDGETED (``store_max_bytes``, default 25%
+    of the object store; the guarded object is the lens store in exact
+    mode, the full shingle store in ``max_doc_freq`` mode): beyond the
+    budget this call falls back to
+    ``minhash_lsh_pairs(verify_jaccard=threshold)`` — banded LSH whose
+    verify runs inside bucket groups with no global store, the any-scale
+    path (approximate: banding can miss pairs, so the fallback is
+    observable via ``LAST_NGRAM_STRATEGY``).
 
     ``max_doc_freq`` is the hot-shingle guard for corpus scale: shingle
     segments with more than this many documents generate no candidates
@@ -404,15 +409,19 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     shingled = ds.map_batches(shingle_tbl, batch_format="pyarrow").materialize()
 
-    # byte-budget guard (mirrors entity_resolution._store_budget_bytes): the
-    # broadcast store is ONE plasma object of every doc's shingle set —
-    # beyond the budget, fall back to banded LSH with in-bucket verification
+    # byte-budget guard (mirrors entity_resolution._store_budget_bytes):
+    # what gets broadcast is the 16-byte/doc lens store in exact mode, the
+    # full per-doc shingle-set store in max_doc_freq mode — beyond the
+    # budget, fall back to banded LSH with in-bucket verification
     global LAST_NGRAM_STRATEGY
     if store_max_bytes is None:
         mem = ray.cluster_resources().get("object_store_memory", 4 << 30) \
             if ray.is_initialized() else 4 << 30
         store_max_bytes = int(mem * 0.25)
-    if shingled.size_bytes() > store_max_bytes:
+    need_full_store = max_doc_freq is not None
+    broadcast_bytes = (shingled.size_bytes() if need_full_store
+                       else 16 * shingled.count())
+    if broadcast_bytes > store_max_bytes:
         LAST_NGRAM_STRATEGY = "minhash_lsh_fallback"
         return minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col, k=k,
                                  n_perms=16, n_bands=8,
@@ -420,7 +429,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                                  n_buckets=n_buckets)
     LAST_NGRAM_STRATEGY = "exact"
 
-    def _build(*tables):
+    def _build(with_vals, *tables):
         ids_l, vals_l, lens_l = [], [], []
         for t in tables:
             if t.num_rows == 0:
@@ -431,21 +440,23 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             ids_l.append(t.column(id_col).to_numpy())
             off = np.asarray(col.offsets, dtype=np.int64)
             lens_l.append(off[1:] - off[:-1])
-            vals_l.append(np.asarray(col.values, dtype=np.int64))
+            if with_vals:
+                vals_l.append(np.asarray(col.values, dtype=np.int64))
         if not ids_l:
             return {"ids": np.zeros(0, np.int64), "starts": np.zeros(0, np.int64),
                     "lens": np.zeros(0, np.int64), "vals": np.zeros(0, np.uint64)}
         ids = np.concatenate(ids_l)
         lens = np.concatenate(lens_l)
-        vals = np.concatenate(vals_l).view(np.uint64)
         starts = np.zeros(ids.shape[0], dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
         order = np.argsort(ids, kind="stable")
-        return {"ids": ids[order], "starts": starts[order],
-                "lens": lens[order], "vals": vals}
+        out = {"ids": ids[order], "starts": starts[order], "lens": lens[order]}
+        if with_vals:
+            out["vals"] = np.concatenate(vals_l).view(np.uint64)
+        return out
 
     builder = ray.remote(num_cpus=1)(_build)
-    store_ref = builder.remote(*shingled.to_arrow_refs())
+    store_ref = builder.remote(need_full_store, *shingled.to_arrow_refs())
 
     # ---- inverted-index candidates, coarse-bucketed ----
     def explode(t: pa.Table) -> pa.Table:
@@ -483,25 +494,38 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 sh_s, ids_s = sh_s[keep_rows], ids_s[keep_rows]
                 sizes = sizes[~hot]
         ia, ib = _pairs_within_segments(sizes)
-        cols = {"id_a": pd.Series(dtype=np.int64),
-                "id_b": pd.Series(dtype=np.int64),
-                "shingle": pd.Series(dtype=np.int64)}
         if ia.size == 0:
-            out = pd.DataFrame(cols)
+            out = pd.DataFrame({"pbkt": pd.Series(dtype=np.int32),
+                                "id_a": pd.Series(dtype=np.int64),
+                                "id_b": pd.Series(dtype=np.int64),
+                                "n_common": pd.Series(dtype=np.int64)})
         else:
             a, b = ids_s[ia], ids_s[ib]
             swap = a > b
-            out = pd.DataFrame({"id_a": np.where(swap, b, a),
-                                "id_b": np.where(swap, a, b),
-                                "shingle": sh_s[ia]})
+            a, b = np.where(swap, b, a), np.where(swap, a, b)
+            # within-bucket pair dedup: one row per unique (a, b) with its
+            # common-shingle count — the shuffle moves unique pairs, not
+            # one row per shared shingle
+            order2 = np.lexsort((b, a))
+            a_s2, b_s2 = a[order2], b[order2]
+            new = np.r_[True, (a_s2[1:] != a_s2[:-1]) | (b_s2[1:] != b_s2[:-1])]
+            idx = np.flatnonzero(new)
+            counts = np.diff(np.r_[idx, a_s2.shape[0]])
+            ua, ub = a_s2[idx], b_s2[idx]
+            pbkt = (splitmix64(ua.view(np.uint64)
+                               ^ splitmix64(ub.view(np.uint64)))
+                    % np.uint64(n_buckets)).astype(np.int32)
+            out = pd.DataFrame({"pbkt": pbkt, "id_a": ua, "id_b": ub,
+                                "n_common": counts.astype(np.int64)})
         if max_doc_freq is not None:
             drop_col = np.zeros(max(len(out), 1), dtype=np.int64)
             drop_col[0] = n_dropped
             if len(out) == 0 and n_dropped:
                 # counter-carrier row so the drop count is never lost
-                out = pd.DataFrame({"id_a": [np.int64(-1)],
+                out = pd.DataFrame({"pbkt": [np.int32(0)],
+                                    "id_a": [np.int64(-1)],
                                     "id_b": [np.int64(-1)],
-                                    "shingle": [np.int64(0)]})
+                                    "n_common": [np.int64(0)]})
             if len(out):
                 out["n_dropped_hot"] = drop_col[: len(out)]
             else:
@@ -510,46 +534,64 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     cand = exploded.groupby("bkt").map_groups(gen_pairs, batch_format="pandas")
 
-    # ---- exact verify against the broadcast store (vectorized: one
-    # sort-merge intersection pass per batch, no per-pair Python loop) ----
-    def verify(t: pa.Table) -> pa.Table:
-        store = ray.get(store_ref)
-        ids, starts, lens, vals = (store["ids"], store["starts"],
-                                   store["lens"], store["vals"])
-        id_a = t.column("id_a").to_numpy()
-        id_b = t.column("id_b").to_numpy()
-        shg = t.column("shingle").to_numpy().view(np.uint64)
-        real = id_a >= 0                       # -1 rows are counter carriers
-        ra, rb, rs = id_a[real], id_b[real], shg[real]
-        pa_i = np.searchsorted(ids, ra)
-        pb_i = np.searchsorted(ids, rb)
-        inter, min_common = _pair_intersections(pa_i, pb_i, starts, lens, vals)
-        union = lens[pa_i] + lens[pb_i] - inter
-        jac = inter / np.maximum(union, 1)
-        # dedup: pair survives only in its minimum common shingle's bucket
-        keep = (inter > 0) & (min_common == rs) & (jac >= threshold)
-        out = pa.table({
-            "id_a": pa.array(ra[keep], pa.int64()),
-            "id_b": pa.array(rb[keep], pa.int64()),
-            "jaccard": pa.array(np.round(jac[keep], 8), pa.float64()),
-        })
+    # ---- cross-bucket merge + finish, COARSE-bucketed on a pair hash:
+    # unique pairs are ~corpus-scale micro-groups, so a builtin two-key
+    # aggregate would fire one reduce per pair (measured 275 s on the
+    # sf0.1 bench vs ~1 s for this segment-sum); instead each of
+    # ~n_buckets groups merges all its pairs in one vectorized pass ----
+    def merge_finish(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty_cols = {"id_a": pd.Series(dtype=np.int64),
+                      "id_b": pd.Series(dtype=np.int64),
+                      "jaccard": pd.Series(dtype=np.float64)}
         if max_doc_freq is not None:
-            # carry this batch's hot-drop count; a -1/-1 carrier row keeps
+            empty_cols["n_dropped_hot"] = pd.Series(dtype=np.int64)
+        a = g["id_a"].to_numpy()
+        b = g["id_b"].to_numpy()
+        nc = g["n_common"].to_numpy()
+        real = a >= 0                          # -1 rows are counter carriers
+        ra, rb, rn = a[real], b[real], nc[real]
+        # segment-sum per unique pair: counts from different shingle
+        # buckets add up to the EXACT intersection size
+        order = np.lexsort((rb, ra))
+        a_s, b_s, n_s = ra[order], rb[order], rn[order]
+        new = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+        idx = np.flatnonzero(new)
+        if idx.size:
+            inter = np.add.reduceat(n_s, idx)
+            ua, ub = a_s[idx], b_s[idx]
+            store = ray.get(store_ref)
+            ids, lens = store["ids"], store["lens"]
+            pa_i = np.searchsorted(ids, ua)
+            pb_i = np.searchsorted(ids, ub)
+            if max_doc_freq is not None:
+                # under the hot cap the summed counts miss hot shingles —
+                # surviving pairs' jaccard must still be EXACT, so
+                # re-intersect once per unique pair against the full store
+                inter, _ = _pair_intersections(pa_i, pb_i, store["starts"],
+                                               lens, store["vals"])
+            union = lens[pa_i] + lens[pb_i] - inter
+            jac = inter / np.maximum(union, 1)
+            keep = jac >= threshold
+            out = pd.DataFrame({"id_a": ua[keep], "id_b": ub[keep],
+                                "jaccard": np.round(jac[keep], 8)})
+        else:
+            out = pd.DataFrame({k: v for k, v in empty_cols.items()
+                                if k != "n_dropped_hot"})
+        if max_doc_freq is not None:
+            # carry this bucket's hot-drop count; a -1/-1 carrier row keeps
             # it even when no pair survives (Sum('n_dropped_hot') is exact)
-            total = int(t.column("n_dropped_hot").to_numpy().sum())
+            total = int(g["n_dropped_hot"].to_numpy().sum())
             if len(out) == 0 and total:
-                out = pa.table({
-                    "id_a": pa.array([-1], pa.int64()),
-                    "id_b": pa.array([-1], pa.int64()),
-                    "jaccard": pa.array([0.0], pa.float64()),
-                })
-            dc = np.zeros(max(len(out), 0), dtype=np.int64)
-            if len(out):
-                dc[0] = total
-            out = out.append_column("n_dropped_hot", pa.array(dc, pa.int64()))
+                out = pd.DataFrame({"id_a": [np.int64(-1)],
+                                    "id_b": [np.int64(-1)],
+                                    "jaccard": [0.0]})
+            dc = np.zeros(max(len(out), 1), dtype=np.int64)
+            dc[0] = total
+            out["n_dropped_hot"] = dc[: len(out)] if len(out) else \
+                pd.Series(dtype=np.int64)
         return out
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return cand.groupby("pbkt").map_groups(merge_finish, batch_format="pandas")
 
 
 # ------------------------------------------------------------------- SimHash
