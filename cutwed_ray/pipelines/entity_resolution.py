@@ -125,6 +125,9 @@ class ERResult:
     clusters: Any                 # Dataset: input cols + cluster_id
     pairs: Any                    # Dataset: scored candidate pairs
     metrics: dict = field(default_factory=dict)
+    # tee-collector actor handle (broadcast strategy): it OWNS the plasma
+    # blocks the lazy `clusters` dataset reads — must outlive consumption
+    keepalive: Any = None
 
 
 def _cfg_hash(cfg: PipelineConfig, extra: str = "") -> str:
@@ -203,10 +206,94 @@ def _store_budget_bytes(cfg: PipelineConfig) -> int:
     return int(mem * 0.25)
 
 
+#: logical-plan operators whose ``size_bytes()`` is metadata-only (no
+#: execution): bare reads and already-in-memory inputs
+_CHEAP_PLAN_OPS = {"Read", "InputData", "FromArrow", "FromPandas",
+                   "FromNumpy", "FromItems", "FromBlocks"}
+
+
+def _cheap_size_estimate(ds):
+    """In-memory byte estimate of ``ds`` WITHOUT executing its plan, or
+    None when any transform is present (``size_bytes()`` would then run
+    the whole pipeline just to answer a pre-flight question).
+
+    For parquet reads this is the decompressed-size estimate from file
+    metadata — a conservative OVER-estimate of the token store (float32
+    token series are ~0.7x their source text bytes)."""
+    try:
+        ops = [ds._logical_plan.dag]
+        while ops:
+            op = ops.pop()
+            if type(op).__name__ not in _CHEAP_PLAN_OPS:
+                return None
+            ops.extend(op.input_dependencies)
+        return ds.size_bytes()
+    except Exception:
+        return None
+
+
 def _score_pairs_broadcast(ds_files, cfg: PipelineConfig, n_buckets: int,
                            conc: int):
+    """Broadcast-strategy dispatch with the byte-budget guard applied at
+    the cheapest possible point:
+
+    * input size known from metadata and OVER budget -> carry, fully
+      streaming (never materializes the tokenized corpus — the previous
+      behavior materialized it just to discover it didn't fit);
+    * input size known and within budget -> the fused TEE path: ONE
+      streaming execution tokenize -> tee -> explode -> shuffle ->
+      pairgen -> score (no materialize barrier, no separate store-build
+      round-trip);
+    * size unknowable without executing (transformed input) -> the
+      materialize-then-check path (unchanged).
+    """
+    global LAST_SCORE_STRATEGY
+    est = _cheap_size_estimate(ds_files)
+    if est is not None:
+        if est > _store_budget_bytes(cfg):
+            LAST_SCORE_STRATEGY = "carry"
+            return _score_pairs_carry(tokenize(ds_files, cfg), cfg, n_buckets, conc)
+        pairs, _collector = _score_pairs_broadcast_tee(
+            ds_files, cfg, n_buckets, tee_drop=("content",))
+        return pairs
     tok = tokenize(ds_files, cfg).drop_columns(["content"]).materialize()
     return _score_pairs_broadcast_from_tok(tok, cfg, n_buckets, conc)
+
+
+def _score_pairs_broadcast_tee(ds_files, cfg: PipelineConfig, n_buckets: int,
+                               tee_drop: tuple = ()):
+    """Fused single-execution broadcast scoring (stages/tee.py): the map
+    stage tokenizes, tees the tokenized block into collector-owned plasma,
+    and emits light band rows; scoring tasks build/fetch the flat store
+    from the collector on first demand (the sort-shuffle barrier guarantees
+    every tee registration happened first).  Returns (pairs_ds, collector);
+    the collector handle must outlive every consumer of the tee'd blocks.
+    """
+    global LAST_SCORE_STRATEGY
+    from cutwed_ray.stages.pairgen import PairGen
+    from cutwed_ray.stages.tee import (
+        TokenizeExplodeTee,
+        make_collector,
+        make_scoring_fn_tee,
+    )
+
+    LAST_SCORE_STRATEGY = "broadcast"
+    collector = make_collector()
+    fused = ds_files.map_batches(
+        TokenizeExplodeTee(cfg, n_buckets, collector, tee_drop=tee_drop),
+        batch_format="pyarrow")
+    pair_gen = PairGen(cfg)
+
+    def gen_pairs(t, _pg=pair_gen):
+        return _pg(t)
+
+    scored = (fused.groupby("bucket")
+                   .map_groups(gen_pairs, batch_format="pyarrow")
+                   .map_batches(make_scoring_fn_tee(collector, cfg),
+                                batch_format="pyarrow",
+                                batch_size=4 * cfg.score_batch_pairs,
+                                num_cpus=1))
+    return scored.drop_columns(["pair_max_len"]), collector
 
 
 def _score_pairs_broadcast_from_tok(tok, cfg: PipelineConfig, n_buckets: int,
@@ -308,62 +395,111 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
     t0 = time.time()
     metrics: dict[str, Any] = {"config_hash": _cfg_hash(cfg, f"b{n_buckets}")}
 
-    tok = None
+    global LAST_SCORE_STRATEGY
+    tok = None            # tokenized Dataset for the labeling pass (or None)
+    keepalive = None
     if cfg.checkpoint_dir:
-        with _hash_shuffle():
-            pairs = _score_with_checkpoint(ds_files, cfg, n_buckets, n_shards, metrics)
+        with _shuffle_for(strategy):
+            pairs = _score_with_checkpoint(
+                ds_files, cfg, n_buckets, n_shards, metrics, strategy)
         import ray.data as rd
 
         tok = rd.read_parquet(os.path.join(cfg.checkpoint_dir, "tokenized"))
     else:
-        # ONE tokenize materialization serves BOTH scoring and the final
-        # labeling pass (content kept so the output schema is unchanged);
-        # the scored pair set is tiny relative to the corpus (blocking
-        # makes it sparse) — materialize it once so edges/counting don't
-        # re-run the whole blocking + scoring pipeline
         conc = cfg.scorer_concurrency
-        with _shuffle_for(strategy):
-            tok = tokenize(ds_files, cfg).materialize()
-            if strategy == "broadcast":
+        broadcastish = strategy in ("broadcast", "auto")
+        est = _cheap_size_estimate(ds_files) if broadcastish else None
+        over_budget = est is not None and est > _store_budget_bytes(cfg)
+        with _shuffle_for("carry" if not broadcastish or over_budget
+                          else strategy):
+            if broadcastish and est is not None and not over_budget:
+                # fused tee path: ONE streaming execution for tokenize ->
+                # shuffle -> pairgen -> scoring; the tee'd tokenized blocks
+                # (content kept) later serve the labeling pass with NO
+                # second corpus read or tokenize barrier
+                import ray
+                import ray.data as rd
+
+                pairs_lazy, collector = _score_pairs_broadcast_tee(
+                    ds_files, cfg, n_buckets)
+                pairs = pairs_lazy.materialize()
+                refs = ray.get(collector.refs.remote())
+                tok = rd.from_arrow_refs(refs) if refs else None
+                keepalive = collector
+            elif broadcastish and est is None:
+                # size unknowable without executing (transformed input):
+                # materialize-then-check (the from_tok guard falls back to
+                # carry beyond the budget)
+                tok = tokenize(ds_files, cfg).materialize()
                 pairs = _score_pairs_broadcast_from_tok(
                     tok, cfg, n_buckets, conc).materialize()
             else:
-                global LAST_SCORE_STRATEGY
+                # carry (requested, or broadcast provably over budget)
+                # stays FULLY streaming: tokens ride the shuffle and are
+                # never pinned in plasma — the whole point of the
+                # beyond-store-budget strategy (labeling re-derives ids
+                # with the light AddIdsStage instead)
                 LAST_SCORE_STRATEGY = "carry"
-                pairs = _score_pairs_carry(tok, cfg, n_buckets, conc).materialize()
+                pairs = _score_pairs_carry(
+                    tokenize(ds_files, cfg), cfg, n_buckets, conc).materialize()
     metrics["score_sec"] = round(time.time() - t0, 3)
+    metrics["strategy"] = LAST_SCORE_STRATEGY
 
-    # ONE streaming driver pass over the (small, materialized) pair table
-    # computes every counter AND collects the thresholded edge list —
-    # separate count()/filter()/sum() calls each cost a full executor
-    # round-trip (~0.5-1 s apiece, scale-independent)
+    # counters + thresholded edges in ONE distributed pass over the
+    # (materialized) pair table: each batch reduces to a 1-row summary with
+    # the edge ids as list columns, so only counters + edges ever reach the
+    # driver (the previous driver-side iter_batches streamed EVERY pair)
     t1 = time.time()
+    thr = cfg.threshold
+
+    def summarize(t: pa.Table) -> pa.Table:
+        ne = int(pc.sum(t.column("exact")).as_py() or 0)
+        nd = (int(pc.sum(t.column("n_dropped_bucket")).as_py() or 0)
+              if "n_dropped_bucket" in t.column_names else 0)
+        eb = t.filter(pc.less_equal(t.column("twed_norm"), thr))
+        ea = eb.column("id_a").combine_chunks()
+        ebb = eb.column("id_b").combine_chunks()
+        off = pa.array([0, len(eb)], pa.int32())
+        return pa.table({
+            "n_pairs": pa.array([len(t)], pa.int64()),
+            "n_exact": pa.array([ne], pa.int64()),
+            "n_dropped": pa.array([nd], pa.int64()),
+            "edge_a": pa.ListArray.from_arrays(off, ea),
+            "edge_b": pa.ListArray.from_arrays(off, ebb),
+        })
+
     n_pairs = n_exact = n_dropped = n_edges = 0
     edge_a, edge_b = [], []
     overflow = False
-    has_drop = "n_dropped_bucket" in pairs.schema().names
-    for b in pairs.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
-        n_pairs += len(b)
-        n_exact += int(pc.sum(b.column("exact")).as_py() or 0)
-        if has_drop:
-            n_dropped += int(pc.sum(b.column("n_dropped_bucket")).as_py() or 0)
-        mask = pc.less_equal(b.column("twed_norm"), cfg.threshold)
-        eb = b.filter(mask)
-        n_edges += len(eb)
+    summary = pairs.map_batches(summarize, batch_format="pyarrow",
+                                batch_size=1 << 18)
+    for b in summary.iter_batches(batch_size=256, batch_format="pyarrow"):
+        n_pairs += int(pc.sum(b.column("n_pairs")).as_py() or 0)
+        n_exact += int(pc.sum(b.column("n_exact")).as_py() or 0)
+        n_dropped += int(pc.sum(b.column("n_dropped")).as_py() or 0)
+        ea = b.column("edge_a").combine_chunks().flatten().to_numpy()
+        n_edges += ea.shape[0]
         if not overflow:
-            edge_a.append(eb.column("id_a").to_numpy())
-            edge_b.append(eb.column("id_b").to_numpy())
+            edge_a.append(ea)
+            edge_b.append(b.column("edge_b").combine_chunks().flatten().to_numpy())
             if n_edges > cfg.max_driver_edges:
                 overflow = True
                 edge_a, edge_b = [], []
     metrics["n_edges"] = n_edges
 
     # label the rows: reuse the tokenized table (row_id + sha256 already
-    # computed, content preserved) — no second corpus read / re-hash
-    _tok_only = {"tokens", "n_tokens", "len_bucket"} | {
-        f"band_{i}" for i in range(cfg.minhash_bands)}
-    with_ids = tok.drop_columns(
-        [c for c in tok.schema().names if c in _tok_only])
+    # computed, content preserved) — no second corpus read / re-hash.
+    # Carry mode has no retained tokenized table; AddIdsStage re-derives
+    # (row_id, sha256) from the raw files in a light streaming pass.
+    if tok is not None:
+        _tok_only = {"tokens", "n_tokens", "len_bucket"} | {
+            f"band_{i}" for i in range(cfg.minhash_bands)}
+        with_ids = tok.drop_columns(
+            [c for c in tok.schema().names if c in _tok_only])
+    else:
+        from cutwed_ray.stages.tokenize import AddIdsStage
+
+        with_ids = ds_files.map_batches(AddIdsStage(), batch_format="pyarrow")
 
     if overflow:
         # scale path: distributed label propagation over the edge Dataset,
@@ -387,7 +523,7 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
 
     metrics["n_pairs_scored"] = n_pairs
     metrics["n_exact_pairs"] = n_exact
-    if has_drop:
+    if "n_dropped_bucket" in pairs.schema().names:
         # pairs sacrificed to the oversized-block salt cap (upper bound on
         # distinct pairs — see stages/pairgen.generate_block_pairs docstring)
         metrics["n_dropped_pairs"] = n_dropped
@@ -399,7 +535,8 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
         clustered.write_parquet(os.path.join(output_dir, "clusters"))
         with open(os.path.join(output_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=2, default=str)
-    return ERResult(clusters=clustered, pairs=pairs, metrics=metrics)
+    return ERResult(clusters=clustered, pairs=pairs, metrics=metrics,
+                    keepalive=keepalive)
 
 
 def topk_twed_neighbors(pairs_ds, k: int = 5, n_buckets: int | None = None):
@@ -444,7 +581,8 @@ def topk_twed_neighbors(pairs_ds, k: int = 5, n_buckets: int | None = None):
 
 
 # ------------------------------------------------------------- checkpointing
-def _score_with_checkpoint(ds_files, cfg, n_buckets, n_shards, metrics):
+def _score_with_checkpoint(ds_files, cfg, n_buckets, n_shards, metrics,
+                           strategy: str = "carry"):
     """Shard-wise scoring with per-shard Parquet checkpoints + manifest.
 
     Layout: {ckpt}/tokenized/ (stage-1 columnar checkpoint),
@@ -453,7 +591,13 @@ def _score_with_checkpoint(ds_files, cfg, n_buckets, n_shards, metrics):
     same config hash skips completed shards — the deterministic
     bucket -> shard mapping makes shard outputs stable across retries
     (SURVEY.md §7.4 resumability).
+
+    ``strategy="broadcast"``: the token store is assembled ONCE from the
+    tokenized checkpoint and shared by every shard's scoring tasks; the
+    per-shard shuffle then moves only light band rows (budget-guarded,
+    falls back to carry beyond it — same contract as ``score_pairs``).
     """
+    global LAST_SCORE_STRATEGY
     import ray.data as rd
 
     ckpt = cfg.checkpoint_dir
@@ -472,25 +616,63 @@ def _score_with_checkpoint(ds_files, cfg, n_buckets, n_shards, metrics):
         manifest["tokenized_done"] = True
         _write_manifest(man_path, manifest)
 
+    store_ref = None
+    tok_mem = None
+    todo = [s for s in range(n_shards)
+            if not manifest["shards"].get(str(s), {}).get("done")]
+    if strategy == "broadcast" and todo:
+        from cutwed_ray.stages.scorer_broadcast import build_token_store_async
+
+        tok_mem = rd.read_parquet(tok_dir).materialize()
+        if tok_mem.size_bytes() <= _store_budget_bytes(cfg):
+            store_ref = build_token_store_async(tok_mem)
+        else:                       # over budget: carry per shard instead
+            tok_mem = None
+    LAST_SCORE_STRATEGY = "broadcast" if store_ref is not None else "carry"
+
     for s in range(n_shards):
         key = str(s)
         if manifest["shards"].get(key, {}).get("done"):
             continue
         t0 = time.time()
-        tok = rd.read_parquet(tok_dir)
-        exploded = tok.map_batches(ExplodeBands(cfg, n_buckets), batch_format="pyarrow")
+        tok = tok_mem if tok_mem is not None else rd.read_parquet(tok_dir)
+        exploded = tok.map_batches(
+            ExplodeBands(cfg, n_buckets, carry_tokens=store_ref is None),
+            batch_format="pyarrow")
         def in_shard(t: pa.Table, _s=s, _n=n_shards) -> pa.Table:
             return t.filter(pa.array(t.column("bucket").to_numpy() % _n == _s))
 
         shard_rows = exploded.map_batches(in_shard, batch_format="pyarrow")
-        _sb = ScoreBucket(cfg)
+        if store_ref is not None:
+            from cutwed_ray.stages.pairgen import PairGen
+            from cutwed_ray.stages.scorer_broadcast import make_scoring_fn
 
-        def score_group(t: pa.Table, _sb=_sb) -> pa.Table:
-            return _sb(t)
+            _pg = PairGen(cfg)
 
-        pairs = shard_rows.groupby("bucket").map_groups(
-            score_group, batch_format="pyarrow", num_cpus=1,
-        )
+            def gen_pairs(t: pa.Table, _pg=_pg) -> pa.Table:
+                return _pg(t)
+
+            from cutwed_ray.stages.scorer import PAIR_SCHEMA
+
+            pairs = (shard_rows.groupby("bucket")
+                     .map_groups(gen_pairs, batch_format="pyarrow")
+                     .map_batches(make_scoring_fn(store_ref, cfg),
+                                  batch_format="pyarrow",
+                                  batch_size=4 * cfg.score_batch_pairs,
+                                  num_cpus=1)
+                     # drop pair_max_len AND normalize to the carry scorer's
+                     # column order so resumed runs mixing strategies read
+                     # one uniform parquet schema
+                     .select_columns(list(PAIR_SCHEMA.names)))
+        else:
+            _sb = ScoreBucket(cfg)
+
+            def score_group(t: pa.Table, _sb=_sb) -> pa.Table:
+                return _sb(t)
+
+            pairs = shard_rows.groupby("bucket").map_groups(
+                score_group, batch_format="pyarrow", num_cpus=1,
+            )
         out_dir = os.path.join(ckpt, "pairs", f"shard={s}")
         tmp_dir = os.path.join(ckpt, "pairs", f"_tmp_shard={s}")
         import shutil

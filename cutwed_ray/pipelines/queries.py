@@ -1071,6 +1071,18 @@ QUERIES = {
     "media_features": q_media_features,
 }
 
+#: pinned-fixture oracles (see scripts/gen_fixtures.py): valid ONLY for the
+#: sf0.01 tables the driver compares at
+_FIXTURE_DIR = "/root/repo/fixtures"
+SQL_LANGID_FIXTURE = (
+    "SELECT doc_id, lang, lang_pred, lang_score "
+    f"FROM read_parquet('{_FIXTURE_DIR}/langid_sf0.01.parquet')"
+)
+SQL_FINGERPRINT_FIXTURE = (
+    "SELECT doc_id, fingerprint "
+    f"FROM read_parquet('{_FIXTURE_DIR}/fingerprint_sf0.01.parquet')"
+)
+
 ORACLE = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "exact_cluster": SQL_EXACT_CLUSTER,
@@ -1094,4 +1106,12 @@ ORACLE = {
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_near_dup_exact": SQL_EMBEDDING_NEAR_DUP_EXACT,
+    # langid / fingerprint are deterministic but not ANSI-SQL-expressible
+    # (custom 64-bit token hashing); their oracle is a PINNED FIXTURE
+    # frozen by scripts/gen_fixtures.py from /root/testdata/sf0.01 — the
+    # comparison verifies determinism + no-regression, and
+    # tests/test_fixture_oracles.py recomputes both on every test run so
+    # drift fails CI first.
+    "langid": SQL_LANGID_FIXTURE,
+    "fingerprint": SQL_FINGERPRINT_FIXTURE,
 }

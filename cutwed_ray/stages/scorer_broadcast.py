@@ -173,6 +173,16 @@ class TwedScorerBroadcast:
         twed_out = np.zeros(n, dtype=np.float64)
         la = np.searchsorted(self.row_ids, id_a)
         lb = np.searchsorted(self.row_ids, id_b)
+        # hard guard against a store that is missing rows (e.g. a lost tee
+        # block): a silent searchsorted miss would score against the WRONG
+        # series — fail loudly instead
+        if self.row_ids.shape[0]:
+            la = np.minimum(la, self.row_ids.shape[0] - 1)
+            lb = np.minimum(lb, self.row_ids.shape[0] - 1)
+        if (self.row_ids.shape[0] == 0
+                or (self.row_ids[la] != id_a).any()
+                or (self.row_ids[lb] != id_b).any()):
+            raise RuntimeError("broadcast token store is missing pair rows")
         len_a = self.lens[la]
         len_b = self.lens[lb]
 
