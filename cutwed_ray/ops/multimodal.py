@@ -44,43 +44,89 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.T
     })
 
 
+def _try_import_pil():
+    """Import-guarded codec probe: returns the PIL Image module or None.
+    Kept as a function (not module-level) so actor workers probe their OWN
+    environment — in a heterogeneous cluster only nodes with the library
+    take the real-decode path."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 class DecodeImageStage:
     """Actor-pool stage: binary payload -> fixed-size feature vector.
 
-    Real pipelines load the codec/model in ``__init__`` (once per actor);
-    here the stub "decoder" hashes the payload into a deterministic
-    ``features: list<float64>`` of length ``feat_dim`` and records
-    ``decode_ok: bool``.  ``real_decode=True`` marks where PIL/libjpeg
-    would be called and raises NotImplementedError in this container.
+    Real pipelines load the codec/model in ``__init__`` (once per actor).
+    ``real_decode``:
+
+    * ``False`` (default) — deterministic stub: the payload hash becomes a
+      ``features: list<float64>`` of length ``feat_dim`` (plumbing-only,
+      works everywhere).
+    * ``True`` — decode with PIL (import-guarded): grayscale-resize to a
+      sqrt(feat_dim) grid, normalized pixel means as features, per-row
+      ``decode_ok=False`` (never a raised error) for undecodable payloads.
+      Raises NotImplementedError at CONSTRUCTION when PIL is absent so a
+      misconfigured cluster fails fast, not per batch.
+    * ``"auto"`` — real decode where PIL exists, stub otherwise.
     """
 
-    def __init__(self, feat_dim: int = 16, real_decode: bool = False):
-        if real_decode:
+    def __init__(self, feat_dim: int = 16, real_decode: bool | str = False):
+        if real_decode == "auto":
+            real_decode = _try_import_pil() is not None
+        if real_decode and _try_import_pil() is None:
             raise NotImplementedError(
                 "real image decode requires PIL/libjpeg, not present in this "
-                "container — use the deterministic stub (real_decode=False)")
+                "container — use real_decode=False (stub) or 'auto'")
+        self.real_decode = bool(real_decode)
         self.feat_dim = feat_dim
+
+    def _decode_real(self, payload: pa.BinaryArray, n: int):
+        """PIL path: square grayscale thumbnail, mean-pixel features."""
+        import io
+
+        Image = _try_import_pil()
+        side = max(1, int(round(self.feat_dim ** 0.5)))
+        feats = np.zeros((n, self.feat_dim), dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):            # per-row by necessity: codecs are not
+            try:                      # vectorizable; batch_size stays small
+                img = Image.open(io.BytesIO(payload[i].as_py())).convert("L")
+                img = img.resize((side, side))
+                px = np.asarray(img, dtype=np.float64) / 255.0
+                feats[i, : side * side] = px.reshape(-1)[: self.feat_dim]
+                ok[i] = True
+            except Exception:
+                pass                  # undecodable row: decode_ok=False
+        return feats, ok
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payload = t.column("payload")
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
         n = len(t)
-        feats = np.empty((n, self.feat_dim), dtype=np.float64)
-        buf = np.frombuffer(payload.buffers()[2], dtype=np.uint8) if payload.buffers()[2] else np.zeros(0, np.uint8)
-        offs = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
-            payload.offset: payload.offset + n + 1].astype(np.int64)
-        S = np.zeros(buf.shape[0] + 1, dtype=np.uint64)
-        np.cumsum(buf.astype(np.uint64), out=S[1:])
-        base = S[offs[1:]] - S[offs[:-1]]
-        for k in range(self.feat_dim):
-            feats[:, k] = (splitmix64(base ^ np.uint64(k * 0x9E37)) >> np.uint64(11)) * 2.0 ** -53
+        if self.real_decode:
+            feats, ok = self._decode_real(payload, n)
+        else:
+            feats = np.empty((n, self.feat_dim), dtype=np.float64)
+            buf = np.frombuffer(payload.buffers()[2], dtype=np.uint8) if payload.buffers()[2] else np.zeros(0, np.uint8)
+            offs = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+                payload.offset: payload.offset + n + 1].astype(np.int64)
+            S = np.zeros(buf.shape[0] + 1, dtype=np.uint64)
+            np.cumsum(buf.astype(np.uint64), out=S[1:])
+            base = S[offs[1:]] - S[offs[:-1]]
+            for k in range(self.feat_dim):
+                feats[:, k] = (splitmix64(base ^ np.uint64(k * 0x9E37)) >> np.uint64(11)) * 2.0 ** -53
+            ok = np.ones(n, dtype=bool)
         out = t.append_column(
             "features",
             pa.FixedSizeListArray.from_arrays(pa.array(feats.reshape(-1), pa.float64()),
                                               self.feat_dim),
         )
-        return out.append_column("decode_ok", pa.array(np.ones(n, dtype=bool), pa.bool_()))
+        return out.append_column("decode_ok", pa.array(ok, pa.bool_()))
 
 
 class ResizeStage:

@@ -275,11 +275,24 @@ class TestMultimodal:
             concurrency=(1, 2), **BINARY_BATCH_KWARGS).to_pandas()
         assert np.allclose(np.stack(df.features), np.stack(out2.features))
 
-    def test_real_decode_is_marked_unimplemented(self):
-        from cutwed_ray.ops.multimodal import DecodeImageStage
+    def test_real_decode_import_guard(self):
+        """real_decode=True uses PIL where present, fails fast at
+        construction where absent; 'auto' never raises."""
+        from cutwed_ray.ops.multimodal import (
+            DecodeImageStage, _try_import_pil, synth_media_table)
 
-        with pytest.raises(NotImplementedError):
-            DecodeImageStage(real_decode=True)
+        auto = DecodeImageStage(feat_dim=9, real_decode="auto")
+        if _try_import_pil() is None:
+            assert auto.real_decode is False
+            with pytest.raises(NotImplementedError):
+                DecodeImageStage(real_decode=True)
+        else:
+            assert auto.real_decode is True
+            # random bytes are not a valid image: per-row decode_ok=False,
+            # no raised error
+            out = DecodeImageStage(feat_dim=9, real_decode=True)(
+                synth_media_table(5, seed=3))
+            assert not out.column("decode_ok").to_numpy().any()
 
     def test_resize_and_frame_sample(self):
         from cutwed_ray.ops.multimodal import ResizeStage, frame_sample, synth_media_table
