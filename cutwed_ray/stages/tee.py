@@ -63,6 +63,7 @@ class TeeCollector:
         self._refs: dict = {}
         self._bytes: int = 0
         self._store_ref = None
+        self._store_sec: float = 0.0
 
     def add(self, fp: tuple, wrapped_ref: list, nbytes: int) -> int:
         if fp not in self._refs:
@@ -78,14 +79,21 @@ class TeeCollector:
 
     def store(self):
         """Build (once) and return the ObjectRef of the flat token store."""
+        import time
+
         import ray
 
         from cutwed_ray.stages.scorer_broadcast import _assemble_store
 
         if self._store_ref is None:
+            t0 = time.time()
             tables = ray.get(list(self._refs.values()))
             self._store_ref = ray.put(_assemble_store(tables))
+            self._store_sec = time.time() - t0
         return self._store_ref
+
+    def store_build_sec(self) -> float:
+        return self._store_sec
 
 
 def make_collector():
