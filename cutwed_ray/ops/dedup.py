@@ -735,7 +735,12 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
                 pa.int32()),
             "bucket_key": pa.array(key, pa.int64()),
             id_col: t.column(id_col),
-            "unit": pa.array(list(unit), pa.list_(pa.float64())),
+            # flat-buffer ListArray construction (a per-row
+            # pa.array(list(unit)) pays one Python object per row)
+            "unit": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, unit.size + 1, unit.shape[1] or 1,
+                                   dtype=np.int32)[: len(t) + 1], pa.int32()),
+                pa.array(unit.reshape(-1), pa.float64())),
         })
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")

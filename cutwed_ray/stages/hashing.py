@@ -38,30 +38,70 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-#: per-process cache of the geometric power sequences p^j / p^-j — they are
-#: identical across calls, so recomputing them was 2 of the 4 full-buffer
-#: passes in the tokenize hot path (measured ~30% of hash_flat_strings)
+#: Chunked evaluation bounds per-call transient memory to ~3 * _CHUNK * 8
+#: bytes regardless of batch size.  The naive formulation (full-buffer g, S
+#: and n-sized power tables) allocated ~16x the content bytes PER CALL —
+#: besides cache-hostility, on lazily-backed VMs (Firecracker et al.) every
+#: fresh worker paid seconds of first-touch page faults for hundreds of MB,
+#: serialized across concurrent workers (measured 16-20 s per worker at
+#: 16-way on this box, ~0.3 s warm).
+_CHUNK_LOG = 20
+_CHUNK = 1 << _CHUNK_LOG  # content bytes per chunk (1 MiB)
+
+#: per-process, per-variant power tables.  p^k is split two-level:
+#: p^k = hi[k >> _CHUNK_LOG] * lo[k & (_CHUNK-1)]  (uint64 wraparound), so
+#: the tables are O(_CHUNK + n/_CHUNK) instead of O(n).
+#: entry: [p_lo, pinv_lo, p_hi, pinv_hi]
 _POW_CACHE: dict = {}
+#: reusable uint64 scratch (Ray map tasks are single-threaded per worker)
+_SCRATCH: dict = {}
 
 
-def _pow_seqs(variant: int, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """(p_pows[0..n], pinv_pows[0..n)) with amortized growth."""
+def _scratch(key: str, size: int) -> np.ndarray:
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.shape[0] < size:
+        buf = np.empty(max(size, _CHUNK + 1), dtype=np.uint64)
+        _SCRATCH[key] = buf
+    return buf
+
+
+def _pow_tables(variant: int, n: int) -> list:
+    """[p_lo, pinv_lo, p_hi, pinv_hi] covering exponents up to n."""
     p, pinv = (_P, _PINV) if variant == 0 else (_P2, _P2INV)
     cached = _POW_CACHE.get(variant)
-    if cached is None or cached[0].shape[0] < n + 1:
-        size = max(n + 1, 1 << 20,
-                   0 if cached is None else 2 * cached[0].shape[0])
-        p_pows = np.empty(size, dtype=np.uint64)
-        p_pows[0] = np.uint64(1)
-        np.multiply.accumulate(np.full(size - 1, p, dtype=np.uint64),
-                               out=p_pows[1:])
-        pinv_pows = np.empty(size, dtype=np.uint64)
-        pinv_pows[0] = np.uint64(1)
-        np.multiply.accumulate(np.full(size - 1, pinv, dtype=np.uint64),
-                               out=pinv_pows[1:])
-        cached = (p_pows, pinv_pows)
+    if cached is None:
+        p_lo = np.empty(_CHUNK, dtype=np.uint64)
+        p_lo[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(_CHUNK - 1, p, dtype=np.uint64),
+                               out=p_lo[1:])
+        pinv_lo = np.empty(_CHUNK, dtype=np.uint64)
+        pinv_lo[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(_CHUNK - 1, pinv, dtype=np.uint64),
+                               out=pinv_lo[1:])
+        cached = [p_lo, pinv_lo,
+                  np.ones(1, dtype=np.uint64), np.ones(1, dtype=np.uint64)]
         _POW_CACHE[variant] = cached
-    return cached[0][: n + 1], cached[1][:n]
+    n_hi = (max(n - 1, 0) >> _CHUNK_LOG) + 2
+    if cached[2].shape[0] < n_hi:
+        # hi[i] = p^(i * _CHUNK); step = p^_CHUNK = lo[-1] * p
+        for slot, lo_t, base in ((2, cached[0], p), (3, cached[1], pinv)):
+            step = np.uint64((int(lo_t[_CHUNK - 1]) * int(base))
+                             & 0xFFFFFFFFFFFFFFFF)
+            hi = np.empty(n_hi, dtype=np.uint64)
+            hi[0] = np.uint64(1)
+            np.multiply.accumulate(np.full(n_hi - 1, step, dtype=np.uint64),
+                                   out=hi[1:])
+            cached[slot] = hi
+    return cached
+
+
+def _sorted_view(pos: np.ndarray):
+    """(sorted positions, inverse order or None) — chunk serving needs
+    monotone positions; every current caller passes monotone offsets."""
+    if pos.shape[0] > 1 and np.any(pos[1:] < pos[:-1]):
+        order = np.argsort(pos, kind="stable")
+        return pos[order], order
+    return pos, None
 
 
 def hash_flat_strings(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
@@ -74,21 +114,59 @@ def hash_flat_strings(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     variant: 0 (default) or 1 — two independent polynomial bases; combining
              both gives an effectively-128-bit key.
     Returns (N,) uint64 hashes (mixed).  Empty strings hash to a constant.
+
+    Evaluated in _CHUNK-byte chunks with persistent scratch: identical
+    uint64 modular arithmetic to the one-shot formulation (verified
+    bit-equal), but O(_CHUNK) transient memory instead of O(nbytes).
     """
     n = data.shape[0]
-    if n == 0:
-        return splitmix64(np.zeros(starts.shape[0], dtype=np.uint64))
-    p_pows, pinv_pows = _pow_seqs(variant, n)
-    # g_j = (b_j+1) * pinv^j ;  S = exclusive prefix sum (in-place, one temp)
-    g = data.astype(np.uint64)
-    g += np.uint64(1)
-    g *= pinv_pows
-    S = np.zeros(n + 1, dtype=np.uint64)
-    np.cumsum(g, out=S[1:])
-
     starts = np.asarray(starts, dtype=np.int64)
     ends = np.asarray(ends, dtype=np.int64)
-    h = p_pows[np.maximum(ends - 1, 0)] * (S[ends] - S[starts])
+    N = starts.shape[0]
+    if n == 0:
+        return splitmix64(np.zeros(N, dtype=np.uint64))
+    p_lo, pinv_lo, p_hi, pinv_hi = _pow_tables(variant, n)
+
+    starts_s, s_ord = _sorted_view(starts)
+    ends_s, e_ord = _sorted_view(ends)
+    S_s = np.empty(N, dtype=np.uint64)
+    S_e = np.empty(N, dtype=np.uint64)
+
+    g = _scratch("g", _CHUNK)
+    S = _scratch("S", _CHUNK + 1)  # S[t] = sum of g over chunk[:t]
+    S[0] = np.uint64(0)
+    run = np.zeros(1, dtype=np.uint64)  # S_global at chunk start (wraps silently)
+    for ci, c0 in enumerate(range(0, n, _CHUNK)):
+        m = min(_CHUNK, n - c0)
+        gb = g[:m]
+        np.copyto(gb, data[c0:c0 + m], casting="unsafe")
+        gb += np.uint64(1)
+        gb *= pinv_lo[:m]
+        gb *= pinv_hi[ci]
+        np.cumsum(gb, out=S[1:m + 1])
+        base = run[0]
+        for pos, out, order in ((starts_s, S_s, s_ord), (ends_s, S_e, e_ord)):
+            lo = np.searchsorted(pos, c0, side="left")
+            hi = np.searchsorted(pos, c0 + m, side="left")
+            if hi > lo:
+                vals = base + S[pos[lo:hi] - c0]
+                if order is None:
+                    out[lo:hi] = vals
+                else:
+                    out[order[lo:hi]] = vals
+        run += S[m:m + 1]
+    # positions == n (string ending at the buffer end): S_global[n] = run
+    for pos, out, order in ((starts_s, S_s, s_ord), (ends_s, S_e, e_ord)):
+        lo = np.searchsorted(pos, n, side="left")
+        if lo < N:
+            if order is None:
+                out[lo:] = run[0]
+            else:
+                out[order[lo:]] = run[0]
+
+    e1 = np.maximum(ends - 1, 0)
+    h = p_hi[e1 >> _CHUNK_LOG] * p_lo[e1 & np.int64(_CHUNK - 1)]
+    h *= S_e - S_s
     h[ends <= starts] = np.uint64(0)
     return splitmix64(h)
 

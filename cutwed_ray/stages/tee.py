@@ -122,22 +122,37 @@ class TokenizeExplodeTee:
         self.tee_drop = tuple(tee_drop)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+        import time
+
         import ray
 
+        t0 = time.time()
+        c0 = time.process_time()
         t = self.tok(batch)
+        c1 = time.process_time()
+        t1 = time.time()
         tee_t = t.drop_columns([c for c in self.tee_drop
                                 if c in t.column_names]) if self.tee_drop else t
         try:
             ref = ray.put(tee_t, _owner=self.collector)
         except TypeError:  # _owner unsupported on this Ray version
             ref = ray.put(tee_t)
+        t2 = time.time()
         # synchronous on purpose: task completion must imply registration
         # (the shuffle barrier then orders ALL registrations before any
         # scoring task) — a fire-and-forget add could still be in flight
         # when the store builds, silently dropping rows
         ray.get(self.collector.add.remote(
             _block_fingerprint(t), [ref], tee_t.nbytes))
-        return self.explode(t)
+        t3 = time.time()
+        out = self.explode(t)
+        if os.environ.get("CUTWED_TEE_TRACE"):
+            with open(f"/tmp/tee_trace_{os.getpid()}.log", "a") as f:
+                f.write(f"{len(batch)} tok={t1-t0:.3f} tokcpu={c1-c0:.3f} "
+                        f"put={t2-t1:.3f} "
+                        f"ack={t3-t2:.3f} explode={time.time()-t3:.3f}\n")
+        return out
 
 
 def make_scoring_fn_tee(collector, cfg: PipelineConfig):
