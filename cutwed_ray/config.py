@@ -60,6 +60,13 @@ class PipelineConfig:
     # broadcast-strategy byte budget for the token store; None = 25% of the
     # object store. Above it the pipeline auto-falls-back to "carry".
     broadcast_store_max_bytes: int | None = None
+    # fuse tokenize->tee->shuffle->score into ONE execution (stages/tee.py).
+    # Measured SLOWER than materialize-then-score on this box (sf0.1:
+    # +10-15% at both 4 and 16 CPUs — the per-batch plasma tee + sync
+    # collector acks + at-barrier store build cost more than the executor
+    # round-trip they remove), so default off; kept as a tested alternative
+    # for callers whose input scan is expensive enough to flip the trade.
+    broadcast_tee: bool = False
 
     # --- linkage ---
     link_mode: bool = False               # True: only cross-dataset (side-bit) pairs

@@ -240,19 +240,21 @@ def _score_pairs_broadcast(ds_files, cfg: PipelineConfig, n_buckets: int,
     * input size known from metadata and OVER budget -> carry, fully
       streaming (never materializes the tokenized corpus — the previous
       behavior materialized it just to discover it didn't fit);
-    * input size known and within budget -> the fused TEE path: ONE
-      streaming execution tokenize -> tee -> explode -> shuffle ->
-      pairgen -> score (no materialize barrier, no separate store-build
-      round-trip);
+    * within budget -> materialize the tokenized corpus (content dropped)
+      and score with the store built in an OVERLAPPED remote task —
+      measured faster than the fused tee path at both 4 and 16 CPUs
+      (sf0.1: ~50 vs ~57 s and ~15 vs ~19 s); set ``cfg.broadcast_tee``
+      to fuse everything into one execution instead;
     * size unknowable without executing (transformed input) -> the
-      materialize-then-check path (unchanged).
+      materialize-then-check path (the from_tok guard still falls back
+      to carry beyond the budget).
     """
     global LAST_SCORE_STRATEGY
     est = _cheap_size_estimate(ds_files)
-    if est is not None:
-        if est > _store_budget_bytes(cfg):
-            LAST_SCORE_STRATEGY = "carry"
-            return _score_pairs_carry(tokenize(ds_files, cfg), cfg, n_buckets, conc)
+    if est is not None and est > _store_budget_bytes(cfg):
+        LAST_SCORE_STRATEGY = "carry"
+        return _score_pairs_carry(tokenize(ds_files, cfg), cfg, n_buckets, conc)
+    if cfg.broadcast_tee and est is not None:
         pairs, _collector = _score_pairs_broadcast_tee(
             ds_files, cfg, n_buckets, tee_drop=("content",))
         return pairs
@@ -412,11 +414,13 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
         over_budget = est is not None and est > _store_budget_bytes(cfg)
         with _shuffle_for("carry" if not broadcastish or over_budget
                           else strategy):
-            if broadcastish and est is not None and not over_budget:
-                # fused tee path: ONE streaming execution for tokenize ->
-                # shuffle -> pairgen -> scoring; the tee'd tokenized blocks
-                # (content kept) later serve the labeling pass with NO
-                # second corpus read or tokenize barrier
+            if (broadcastish and cfg.broadcast_tee and est is not None
+                    and not over_budget):
+                # fused tee path (opt-in, see PipelineConfig.broadcast_tee):
+                # ONE streaming execution for tokenize -> shuffle -> pairgen
+                # -> scoring; the tee'd tokenized blocks (content kept)
+                # later serve the labeling pass with NO second corpus read
+                # or tokenize barrier
                 import ray
                 import ray.data as rd
 
@@ -426,10 +430,12 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
                 refs = ray.get(collector.refs.remote())
                 tok = rd.from_arrow_refs(refs) if refs else None
                 keepalive = collector
-            elif broadcastish and est is None:
-                # size unknowable without executing (transformed input):
-                # materialize-then-check (the from_tok guard falls back to
-                # carry beyond the budget)
+            elif broadcastish and not over_budget:
+                # default broadcast: materialize the tokenized corpus once
+                # (reused by the labeling pass) and score with the store
+                # built in an overlapped remote task; the from_tok guard
+                # falls back to carry if the materialized size exceeds the
+                # budget (covers the est-unknowable case too)
                 tok = tokenize(ds_files, cfg).materialize()
                 pairs = _score_pairs_broadcast_from_tok(
                     tok, cfg, n_buckets, conc).materialize()

@@ -78,17 +78,23 @@ class TeeCollector:
         return self._bytes
 
     def store(self):
-        """Build (once) and return the ObjectRef of the flat token store."""
+        """Build (once) and return the ObjectRef of the flat token store.
+
+        The assembly runs as a remote CPU task, not in this zero-CPU actor:
+        the first scorer's demand only *launches* it, and the returned ref
+        resolves when the task finishes — so the concat/put occupies a real
+        CPU slot and this actor never holds a corpus-sized heap."""
         import time
 
         import ray
 
-        from cutwed_ray.stages.scorer_broadcast import _assemble_store
+        from cutwed_ray.stages.scorer_broadcast import (
+            _assemble_store_from_blocks)
 
         if self._store_ref is None:
             t0 = time.time()
-            tables = ray.get(list(self._refs.values()))
-            self._store_ref = ray.put(_assemble_store(tables))
+            builder = ray.remote(num_cpus=1)(_assemble_store_from_blocks)
+            self._store_ref = builder.remote(*self._refs.values())
             self._store_sec = time.time() - t0
         return self._store_ref
 

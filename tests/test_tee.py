@@ -39,7 +39,7 @@ class TestTeeBroadcast:
         import ray.data as rd
 
         files, _ = corpus
-        cfg = default_config(threshold=0.25)
+        cfg = default_config(threshold=0.25, broadcast_tee=True)
         r_b = run_er(rd.from_arrow(files), cfg, n_buckets=8, strategy="broadcast")
         assert r_b.metrics["strategy"] == "broadcast"
         assert r_b.keepalive is not None, "tee collector must be kept alive"
@@ -65,7 +65,8 @@ class TestTeeBroadcast:
         import ray.data as rd
 
         files, _ = corpus
-        cfg = default_config(threshold=0.25, broadcast_store_max_bytes=1)
+        cfg = default_config(threshold=0.25, broadcast_store_max_bytes=1,
+                             broadcast_tee=True)
         res = run_er(rd.from_arrow(files), cfg, n_buckets=8, strategy="broadcast")
         assert res.metrics["strategy"] == "carry"
         assert res.keepalive is None
@@ -80,7 +81,7 @@ class TestTeeBroadcast:
         import ray.data as rd
 
         files, _ = corpus
-        cfg = default_config(threshold=0.25)
+        cfg = default_config(threshold=0.25, broadcast_tee=True)
         pairs = er.score_pairs(rd.from_arrow(files), cfg, n_buckets=8,
                                strategy="broadcast")
         assert er.LAST_SCORE_STRATEGY == "broadcast"
