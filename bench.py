@@ -30,6 +30,14 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# Keep idle Ray workers alive between executions (must be set before
+# ray.init).  On this host, guest memory is lazily backed: a worker's
+# FIRST full-size task pays a multi-second page-fault storm faulting in
+# its arena, so killing idle workers between bench passes re-pays that
+# storm and makes min-of-N measure cold state.  A long-lived production
+# cluster runs warm workers; this makes the bench measure the same thing.
+os.environ.setdefault("RAY_kill_idle_workers_interval_ms", "0")
+
 #: synthetic corpus rows per sf (sf parsed from the dir name); lengths are
 #: log-normal around exp(5.5)~245 tokens so the quadratic TWED scoring is
 #: the dominant compute (not fixed pipeline overhead)

@@ -38,6 +38,23 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def splitmix64_inplace(x: np.ndarray) -> np.ndarray:
+    """splitmix64 over a caller-OWNED uint64 buffer: mutates x, uses one
+    persistent scratch temp instead of 4 fresh array allocations (hot-path
+    variant; bit-identical to splitmix64)."""
+    n = x.shape[0]
+    t = _scratch("mix_tmp", n)[:n]
+    np.right_shift(x, np.uint64(30), out=t)
+    x ^= t
+    x *= _M1
+    np.right_shift(x, np.uint64(27), out=t)
+    x ^= t
+    x *= _M2
+    np.right_shift(x, np.uint64(31), out=t)
+    x ^= t
+    return x
+
+
 #: Chunked evaluation bounds per-call transient memory to ~3 * _CHUNK * 8
 #: bytes regardless of batch size.  The naive formulation (full-buffer g, S
 #: and n-sized power tables) allocated ~16x the content bytes PER CALL —
@@ -168,7 +185,7 @@ def hash_flat_strings(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     h = p_hi[e1 >> _CHUNK_LOG] * p_lo[e1 & np.int64(_CHUNK - 1)]
     h *= S_e - S_s
     h[ends <= starts] = np.uint64(0)
-    return splitmix64(h)
+    return splitmix64_inplace(h)
 
 
 def hash_string_array(arr, variant: int = 0) -> np.ndarray:
@@ -205,16 +222,22 @@ def shingle_hashes(tok_hashes: np.ndarray, offsets: np.ndarray, k: int) -> tuple
     n_docs = offsets.shape[0] - 1
     lens = offsets[1:] - offsets[:-1]
 
-    # combined rolling shingle over the flat array (cross-doc positions masked below)
-    comb = tok_hashes.copy()
+    # combined rolling shingle over the flat array (cross-doc positions
+    # masked below); persistent scratch, no fresh T-sized temporaries
+    comb = _scratch("shingle_comb", T)[:T]
+    np.copyto(comb, tok_hashes)
     for i in range(1, k):
         rot = np.uint64(i * 21 % 64)
-        shifted = np.zeros(T, dtype=np.uint64)
         if T > i:
             src = tok_hashes[i:]
-            shifted[:-i] = (src << rot) | (src >> (np.uint64(64) - rot))
-        comb ^= shifted
-    comb = splitmix64(comb)
+            t1 = _scratch("shingle_t1", T)[:T - i]
+            np.left_shift(src, rot, out=t1)
+            t2 = _scratch("shingle_t2", T)[:T - i]
+            np.right_shift(src, np.uint64(64) - rot, out=t2)
+            t1 |= t2
+            comb[:T - i] ^= t1
+        # positions T-i..T xor'd nothing in the old zero-padded form
+    comb = splitmix64_inplace(comb)
 
     n_sh = np.maximum(lens - (k - 1), 0)
     has = n_sh > 0
@@ -270,10 +293,13 @@ def minhash_bands(
     mins = np.empty((n_perms, n_docs), dtype=np.uint64)
     starts = sh_offsets[:-1]
     nonempty = sh_offsets[-1] > 0
+    T_sh = sh.shape[0]
+    perm = _scratch("minhash_perm", T_sh)[:T_sh]
     for i in range(n_perms):
         if nonempty:
-            perm = a[i] * sh + b[i]
-            mins[i] = np.minimum.reduceat(perm, starts)
+            np.multiply(sh, a[i], out=perm)
+            perm += b[i]
+            np.minimum.reduceat(perm, starts, out=mins[i])
         else:
             mins[i] = 0
 

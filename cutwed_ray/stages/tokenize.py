@@ -32,11 +32,27 @@ import pyarrow as pa
 from cutwed_ray.config import PipelineConfig
 from cutwed_ray.stages.hashing import (
     hash_string_array,
-    hashes_to_unit_floats,
     minhash_bands,
     shingle_hashes,
     splitmix64,
 )
+
+
+#: persistent per-process scratch for the byte-level masks: the naive
+#: formulation allocated ~10x the content bytes in fresh bool arrays and
+#: expression temporaries PER CALL — allocator churn that costs real time
+#: on lazily-backed VMs (every fresh worker re-faults the pages; measured
+#: ~0.5 ms/page on this host) and trashes cache at any scale.  Ray map
+#: tasks are single-threaded per worker, so one slot per name suffices.
+_TOK_SCRATCH: dict = {}
+
+
+def _tok_scratch(key: str, size: int, dtype=bool) -> np.ndarray:
+    buf = _TOK_SCRATCH.get(key)
+    if buf is None or buf.shape[0] < size:
+        buf = np.empty(max(int(size * 5 // 4), 1 << 20), dtype=dtype)
+        _TOK_SCRATCH[key] = buf
+    return buf[:size]
 
 
 def tokenize_content(content, max_tokens: int) -> tuple[np.ndarray, np.ndarray]:
@@ -45,7 +61,8 @@ def tokenize_content(content, max_tokens: int) -> tuple[np.ndarray, np.ndarray]:
     Tokens are maximal runs of non-whitespace.  Rather than materializing a
     list<string> array, we find token boundaries directly on the flat byte
     buffer with NumPy: a position starts a token iff it is non-space and the
-    previous byte is a space or a document boundary.
+    previous byte is a space or a document boundary.  All byte-sized masks
+    live in persistent scratch (out= kernels, no temporaries).
     """
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
@@ -68,25 +85,34 @@ def tokenize_content(content, max_tokens: int) -> tuple[np.ndarray, np.ndarray]:
     nbytes = view.shape[0]
 
     # whitespace mask (space, \t, \n, \r, \v, \f)
-    is_ws = (view == 32) | ((view >= 9) & (view <= 13))
-    non_ws = ~is_ws
+    is_ws = _tok_scratch("is_ws", nbytes)
+    np.equal(view, 32, out=is_ws)
+    tmp = _tok_scratch("tmp", nbytes)
+    np.greater_equal(view, 9, out=tmp)
+    tmp2 = _tok_scratch("tmp2", nbytes)
+    np.less_equal(view, 13, out=tmp2)
+    tmp &= tmp2
+    is_ws |= tmp
+    non_ws = np.logical_not(is_ws, out=tmp)        # aliases "tmp"
 
     # token starts: non-ws whose previous byte is ws, plus doc starts landing on non-ws
-    prev_ws = np.empty(nbytes, dtype=bool)
+    prev_ws = _tok_scratch("prev_ws", nbytes)
     if nbytes:
         prev_ws[0] = True
         prev_ws[1:] = is_ws[:-1]
-    starts_mask = non_ws & prev_ws
+    starts_mask = prev_ws
+    starts_mask &= non_ws
     starts_mask[doc_off[:-1][doc_off[:-1] < nbytes]] |= True  # doc boundary forces a start
     starts_mask &= non_ws
     tok_starts = np.nonzero(starts_mask)[0].astype(np.int64)
 
     # token ends: next ws-or-doc-boundary after each start
-    next_ws = np.empty(nbytes, dtype=bool)
+    next_ws = _tok_scratch("next_ws", nbytes)
     if nbytes:
         next_ws[-1] = True
         next_ws[:-1] = is_ws[1:]
-    ends_mask = non_ws & next_ws
+    ends_mask = next_ws
+    ends_mask &= non_ws
     ends_mask[np.maximum(doc_off[1:] - 1, 0)[doc_off[1:] > 0]] |= True
     ends_mask &= non_ws
     tok_ends = np.nonzero(ends_mask)[0].astype(np.int64) + 1
@@ -196,7 +222,6 @@ class TokenizeStage:
         rid = _apply_side_bit(rid, batch)
 
         th, offsets = tokenize_content(content, cfg.max_tokens)
-        values = hashes_to_unit_floats(th)
         n_tokens = offsets[1:] - offsets[:-1]
 
         lb = np.floor(
@@ -208,13 +233,22 @@ class TokenizeStage:
         bands = minhash_bands(sh, sh_off, cfg.minhash_perms, cfg.minhash_bands,
                               seed=cfg.block_salt_seed)
 
+        # token values AFTER shingling so th (which this batch owns) can be
+        # converted in place: (th >> 11) * 2^-53 rounded straight to float32
+        # is bit-identical to hashes_to_unit_floats(th).astype(float32)
+        # (both round the same 53-bit integer once; the power-of-two scale
+        # is exact) with 2 fewer full-size temporaries
+        th >>= np.uint64(11)
+        values32 = th.astype(np.float32)
+        values32 *= np.float32(2.0 ** -53)
+
         # int32 list offsets: per-batch token totals are far below 2^31 and a
         # consistent list type across batches keeps the schema stable.
         # float32 halves the blocking-shuffle payload (tokens dominate row
         # bytes); the ~1e-7 quantization is irrelevant at threshold scale
         tokens_arr = pa.ListArray.from_arrays(
             pa.array(offsets, pa.int32()),
-            pa.array(values.astype(np.float32), pa.float32()),
+            pa.array(values32, pa.float32()),
         )
 
         out = batch.append_column("sha256", pa.array(sha, pa.string()))
