@@ -142,15 +142,8 @@ def knn_bruteforce(ds, query_ids, k: int = 5, id_col: str = "vec_id",
     return _merge_topk(local, k, dedup=False)
 
 
-def train_ivf_centroids(ds, n_centroids: int = 64, sample_size: int = 4096,
-                        iters: int = 10, seed: int = 13,
-                        emb_col: str = "embedding") -> np.ndarray:
-    """Seeded mini k-means (spherical) on a BOUNDED sample — the driver
-    pull is capped at ``sample_size`` rows regardless of corpus size (the
-    coarse quantizer needs only a sketch of the distribution).
-    Returns unit-norm centroids (n_centroids, dim)."""
-    samp = ds.limit(sample_size).to_pandas()
-    X = _unit(np.stack([np.asarray(e, dtype=np.float64) for e in samp[emb_col]]))
+def _kmeans_spherical(X: np.ndarray, n_centroids: int, iters: int,
+                      seed: int) -> np.ndarray:
     n = X.shape[0]
     rng = np.random.RandomState(seed)
     C = X[rng.choice(n, size=min(n_centroids, n), replace=False)]
@@ -162,6 +155,18 @@ def train_ivf_centroids(ds, n_centroids: int = 64, sample_size: int = 4096,
                 C[c] = members.mean(axis=0)
         C = _unit(C)
     return C
+
+
+def train_ivf_centroids(ds, n_centroids: int = 64, sample_size: int = 4096,
+                        iters: int = 10, seed: int = 13,
+                        emb_col: str = "embedding") -> np.ndarray:
+    """Seeded mini k-means (spherical) on a BOUNDED sample — the driver
+    pull is capped at ``sample_size`` rows regardless of corpus size (the
+    coarse quantizer needs only a sketch of the distribution).
+    Returns unit-norm centroids (n_centroids, dim)."""
+    samp = ds.limit(sample_size).to_pandas()
+    X = _unit(np.stack([np.asarray(e, dtype=np.float64) for e in samp[emb_col]]))
+    return _kmeans_spherical(X, n_centroids, iters, seed)
 
 
 def knn_ivf(ds, query_ids, k: int = 5, id_col: str = "vec_id",
@@ -178,8 +183,33 @@ def knn_ivf(ds, query_ids, k: int = 5, id_col: str = "vec_id",
     """
     import ray
 
-    C = train_ivf_centroids(ds, n_centroids, sample_size, seed=seed,
-                            emb_col=emb_col)
+    qset = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
+
+    # ONE pre-pass execution pulls BOTH driver-bounded inputs — the k-means
+    # sample (per-block heads concatenated in block order and truncated ==
+    # exactly ds.limit(sample_size)) and the query rows — instead of two
+    # separate dataset executions (each a full scan + executor round-trip)
+    def pre(t: pa.Table) -> pa.Table:
+        head = t.slice(0, min(len(t), sample_size))
+        ids = t.column(id_col).to_numpy()
+        qrows = t.filter(pa.array(np.isin(ids, qset)))
+        role = np.concatenate([np.zeros(len(head), dtype=np.int8),
+                               np.ones(len(qrows), dtype=np.int8)])
+        both = pa.concat_tables([head, qrows])
+        return both.append_column("__role__", pa.array(role, pa.int8()))
+
+    tabs = [t for t in ray.get(
+        ds.map_batches(pre, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    pre_t = pa.concat_tables(tabs) if tabs else None
+    if pre_t is None:
+        return _merge_topk(ds.limit(0), k, dedup=True)
+    role = pre_t.column("__role__").to_numpy()
+    samp_t = pre_t.filter(pa.array(role == 0)).slice(0, sample_size)
+    q_tbl = pre_t.filter(pa.array(role == 1))
+
+    Xs = _unit(_emb_matrix(samp_t, emb_col))
+    C = _kmeans_spherical(Xs, n_centroids, iters=10, seed=seed)
     C_ref = ray.put(C)
 
     def assign_cell(t: pa.Table) -> pa.Table:
@@ -190,15 +220,6 @@ def knn_ivf(ds, query_ids, k: int = 5, id_col: str = "vec_id",
 
     celled = ds.map_batches(assign_cell, batch_format="pyarrow")
 
-    qset = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
-
-    def is_query(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy()
-        return t.filter(pa.array(np.isin(ids, qset)))
-
-    q_tbl = pa.concat_tables(
-        [ray.get(r) for r in
-         ds.map_batches(is_query, batch_format="pyarrow").to_arrow_refs()])
     Q = _emb_matrix(q_tbl, emb_col)
     qids = q_tbl.column(id_col).to_numpy().astype(np.int64)
     qsim = _unit(Q) @ C.T                         # (nq, n_centroids)

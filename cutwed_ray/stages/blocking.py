@@ -59,7 +59,23 @@ class ExplodeBands:
         # block key per (row, band): mix(base ^ band_hash ^ band_id)
         band_ids = np.arange(nb, dtype=np.uint64)
         keys = splitmix64(base_key[:, None] ^ bands ^ (band_ids[None, :] + np.uint64(0x1234567)))
-        buckets = (keys % np.uint64(self.n_buckets)).astype(np.int32)
+        # The scoring shuffle's reduce emits blocks in ascending bucket
+        # order and the fused pairgen->score tasks launch in that order, so
+        # LONG series (quadratic kernel cost, rare under the length
+        # distribution but dominant per pair) get the LOW bucket ids: they
+        # schedule first and cheap buckets fill the stage tail instead of a
+        # late straggler defining it.  Only the long tail is split out —
+        # a full cost-ordered id space (class * n_buckets + slot) measured
+        # 2x SLOWER at 16 CPUs: hundreds of distinct keys under-fill the
+        # scoring batches.  Still a pure function of block_key (lb is part
+        # of it), so all rows of a block share one bucket.
+        n_long = max(2, self.n_buckets // 8)
+        n_rest = max(1, self.n_buckets - n_long)
+        is_long = lb >= np.uint64(23)          # ~1000+ tokens (base 1.35)
+        buckets = np.where(
+            is_long[:, None],
+            keys % np.uint64(n_long),
+            np.uint64(n_long) + keys % np.uint64(n_rest)).astype(np.int32)
 
         # Build the 8x-replicated table with flat-buffer NumPy ops —
         # pa.Table.take on a list<float> column is ~100x slower than a

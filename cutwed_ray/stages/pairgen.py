@@ -176,17 +176,31 @@ class PairGen:
             return PAIRGEN_SCHEMA.empty_table()
         id_a, id_b = row_id[ia], row_id[ib]
         swap = id_a > id_b
-        # the bucket's salt-cap dropped-pair count rides on the FIRST row so
-        # a plain Sum over the column yields the exact pipeline-wide total
-        dropped_col = np.zeros(ia.shape[0], dtype=np.int64)
+        pm = np.maximum(n_tokens[ia], n_tokens[ib]).astype(np.int32)
+        # longest pairs FIRST: blocks are length-homogeneous (len_bucket is
+        # part of the block key), so in block order the downstream scorer's
+        # fixed-size batch slices come out all-long or all-short — the
+        # all-long ones land anywhere in the schedule and a late one adds
+        # its entire quadratic cost to the stage tail.  Descending length
+        # puts each block's expensive slices at the front of the stage,
+        # leaving cheap slices to fill the tail.
+        order = np.argsort(-pm.astype(np.int64), kind="stable")
+        ia, ib = None, None                    # invalidated by reordering
+        id_a, id_b = id_a[order], id_b[order]
+        swap = swap[order]
+        exact = exact[order]
+        bkeys = bkeys[order]
+        pm = pm[order]
+        # the bucket's salt-cap dropped-pair count rides on ONE row so a
+        # plain Sum over the column yields the exact pipeline-wide total
+        dropped_col = np.zeros(id_a.shape[0], dtype=np.int64)
         dropped_col[0] = n_dropped
         return pa.table({
             "id_a": pa.array(np.where(swap, id_b, id_a), pa.int64()),
             "id_b": pa.array(np.where(swap, id_a, id_b), pa.int64()),
             "exact": pa.array(exact, pa.bool_()),
             "block_key": pa.array(bkeys, pa.int64()),
-            "bucket": pa.array(np.full(ia.shape[0], bucket_val, dtype=np.int32), pa.int32()),
-            "pair_max_len": pa.array(
-                np.maximum(n_tokens[ia], n_tokens[ib]).astype(np.int32), pa.int32()),
+            "bucket": pa.array(np.full(id_a.shape[0], bucket_val, dtype=np.int32), pa.int32()),
+            "pair_max_len": pa.array(pm, pa.int32()),
             "n_dropped_bucket": pa.array(dropped_col, pa.int64()),
         })
