@@ -82,6 +82,20 @@ def build_token_store(tokenized_ds):
 #: store + config live here between batches of the same execution
 _SCORER_SLOT: list = [None, None]          # [key, TwedScorerBroadcast]
 
+#: persistent per-process pool scratch for _pack (Ray map tasks are
+#: single-threaded per worker): fresh multi-MB np.zeros per chunk are
+#: mmap-backed and on lazily-backed VMs every fresh worker re-pays
+#: first-touch page faults for them — reuse + fill(0) instead
+_PACK_SCRATCH: dict = {}
+
+
+def _pack_scratch(key: str, size: int) -> np.ndarray:
+    buf = _PACK_SCRATCH.get(key)
+    if buf is None or buf.shape[0] < size:
+        buf = np.empty(max(int(size * 5 // 4), 1 << 16), dtype=np.float64)
+        _PACK_SCRATCH[key] = buf
+    return buf
+
 
 def make_scoring_fn(store_ref, cfg: PipelineConfig):
     """Stateless-callable scoring fn for ``map_batches`` TASKS.
@@ -142,13 +156,19 @@ class TwedScorerBroadcast:
         self.dtype = np.dtype(self.cfg.dtype)
 
     def _pack(self, uniq_idx: np.ndarray):
-        """Pad the unique store rows into (S, M) pools (vectorized)."""
+        """Pad the unique store rows into (S, M) pools (vectorized).
+
+        The pools live in persistent per-process scratch (zeroed per call
+        with fill, not fresh calloc mmaps) and are consumed synchronously
+        by the kernel within the same ``__call__`` chunk."""
         starts = self.starts[uniq_idx]
         lens = self.lens[uniq_idx]
         S = uniq_idx.shape[0]
         M = int(lens.max()) if S else 0
-        X = np.zeros((S, M), dtype=np.float64)
-        TX = np.zeros((S, M), dtype=np.float64)
+        X = _pack_scratch("X", S * M)[:S * M].reshape(S, M)
+        X.fill(0.0)
+        TX = _pack_scratch("TX", S * M)[:S * M].reshape(S, M)
+        TX.fill(0.0)
         nz = lens > 0
         if nz.any():
             gather = _ranges(starts[nz], lens[nz])
