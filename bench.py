@@ -110,10 +110,12 @@ def run_bench() -> dict:
     n_passes = int(os.environ.get("GRAFT_BENCH_PASSES", "2"))
     # bucket granularity, measured across 4/16/32 CPUs: 2 blocks/CPU on
     # small clusters (fewer, larger pairgen groups amortize better: 8 beats
-    # 16 buckets at 4 CPUs), then a flat 64 (64 beats 32 at 16 CPUs — finer
-    # blocks even out per-bucket scoring skew — and 64 beats 128 at 32:
-    # buckets below ~2x score_batch_pairs under-fill scoring batches)
-    n_buckets = 2 * NUM_CPUS if NUM_CPUS <= 8 else 64
+    # 16 buckets at 4 CPUs); 6 blocks/CPU at 16 CPUs (96 beats 64: scoring
+    # tasks = buckets, and ~6 waves/CPU soften last-wave quantization,
+    # round-3 cooled sweep 16.5 s vs 18.3 s); flat 64 at 32 CPUs (64 beats
+    # 128: buckets below ~2x score_batch_pairs under-fill scoring batches)
+    n_buckets = (2 * NUM_CPUS if NUM_CPUS <= 8
+                 else 6 * NUM_CPUS if NUM_CPUS <= 16 else 64)
     for _ in range(n_passes):
         t0 = time.time()
         res = run_er(rd.read_parquet(f"{cpath}/files"), cfg,
