@@ -14,6 +14,10 @@ Public kernel API (parity with cuTWED's public surface, see SURVEY.md §2.1):
     twed_pairs(...)                             — variable-length pair list scorer
 """
 
+from cutwed_ray._malloc import tune_malloc as _tune_malloc
+
+_tune_malloc()
+
 from cutwed_ray.kernel.reference import twed_ref
 from cutwed_ray.kernel.batch import twed, twed_batch, twed_pairs, TRIL, TRIU, NOPT
 from cutwed_ray.config import TwedConfig, PipelineConfig
