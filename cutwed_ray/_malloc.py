@@ -16,6 +16,14 @@ Rare giant allocations (kernel sweeps near ``MAX_SWEEP_BYTES``) still go
 through mmap and are returned to the OS on free (verified: 2 GiB alloc ->
 33 MiB RSS after free).
 
+Arrow gets the same treatment: its default jemalloc pool unmaps every
+"oversize" (>8 MiB) buffer immediately on free regardless of decay
+settings, so per-batch Arrow OUTPUT buffers re-fault every batch (probe:
+64 MiB alloc/touch/free loop = 16384 faults and ~50 ms sys per iteration
+forever under jemalloc; 0 faults and 0.5 ms steady-state under the system
+pool once the brk heap converges).  We therefore point Arrow's default
+pool at the system allocator, which inherits the mallopt tunables.
+
 Applied once at ``cutwed_ray`` import so every Ray worker that unpickles
 one of our stage functions gets it, regardless of who owns the Ray session
 (bench.py, pytest, or the external driver).  Opt out with
@@ -45,4 +53,11 @@ def tune_malloc() -> bool:
         _applied = bool(ok1 and ok2)
     except Exception:  # pragma: no cover - non-glibc / restricted platforms
         _applied = False
+    if _applied:
+        try:
+            import pyarrow as pa
+
+            pa.set_memory_pool(pa.system_memory_pool())
+        except Exception:  # pragma: no cover
+            pass
     return _applied

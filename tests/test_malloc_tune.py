@@ -8,16 +8,25 @@ from cutwed_ray import _malloc
 
 
 def test_applied_in_driver():
+    import pyarrow as pa
+
     assert _malloc._applied is True
     # idempotent
     assert _malloc.tune_malloc() is True
+    # arrow default pool rerouted off jemalloc (which unmaps oversize
+    # buffers on free -> per-batch refault storms on this host)
+    assert pa.default_memory_pool().backend_name == "system"
 
 
 def test_applied_in_ray_worker(ray_session):
     @ray.remote(num_cpus=0)
-    def probe() -> bool:
+    def probe():
+        import pyarrow as pa
+
         from cutwed_ray import _malloc as m
 
-        return m._applied
+        return m._applied, pa.default_memory_pool().backend_name
 
-    assert ray.get(probe.remote()) is True
+    applied, backend = ray.get(probe.remote())
+    assert applied is True
+    assert backend == "system"
