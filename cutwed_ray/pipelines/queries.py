@@ -1072,16 +1072,36 @@ QUERIES = {
 }
 
 #: pinned-fixture oracles (see scripts/gen_fixtures.py): valid ONLY for the
-#: sf0.01 tables the driver compares at
+#: sf0.01 tables the driver compares at.  Every query listed here is a
+#: DETERMINISTIC function of the input — independent of parallelism, block
+#: boundaries, and scheduling (candidate/bucket keys are content-hashes,
+#: merges use full tie-break sorts, k-means samples are order-pinned
+#: prefixes, TWED is per-pair exact arithmetic).  tests/test_fixture_oracles.py
+#: recomputes each one against the live sf0.01 testdata on every run, so
+#: drift fails CI before it fails the driver's hash gate.  Values are the
+#: canonical sort keys used to freeze the parquet stably.
+FIXTURE_ORACLES: dict[str, list[str]] = {
+    "langid": ["doc_id"],
+    "fingerprint": ["doc_id"],
+    "minhash_near_dup": ["id_a", "id_b"],
+    "simhash_near_dup": ["id_a", "id_b"],
+    "embedding_near_dup": ["id_a", "id_b"],
+    "knn_lsh": ["query_id", "rank"],
+    "knn_ivf": ["query_id", "rank"],
+    "twed_pairs_documents": ["id_a", "id_b"],
+    "twed_topk_neighbors": ["row_id", "rank"],
+    "er_clusters_documents": ["path"],
+    "link_documents": ["id_a", "id_b"],
+}
 _FIXTURE_DIR = "/root/repo/fixtures"
-SQL_LANGID_FIXTURE = (
-    "SELECT doc_id, lang, lang_pred, lang_score "
-    f"FROM read_parquet('{_FIXTURE_DIR}/langid_sf0.01.parquet')"
-)
-SQL_FINGERPRINT_FIXTURE = (
-    "SELECT doc_id, fingerprint "
-    f"FROM read_parquet('{_FIXTURE_DIR}/fingerprint_sf0.01.parquet')"
-)
+
+
+def fixture_sql(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{_FIXTURE_DIR}/{name}_sf0.01.parquet')"
+
+
+SQL_LANGID_FIXTURE = fixture_sql("langid")
+SQL_FINGERPRINT_FIXTURE = fixture_sql("fingerprint")
 
 ORACLE = {
     "exact_dedup": SQL_EXACT_DEDUP,
@@ -1106,12 +1126,12 @@ ORACLE = {
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_near_dup_exact": SQL_EMBEDDING_NEAR_DUP_EXACT,
-    # langid / fingerprint are deterministic but not ANSI-SQL-expressible
-    # (custom 64-bit token hashing); their oracle is a PINNED FIXTURE
-    # frozen by scripts/gen_fixtures.py from /root/testdata/sf0.01 — the
-    # comparison verifies determinism + no-regression, and
-    # tests/test_fixture_oracles.py recomputes both on every test run so
-    # drift fails CI first.
-    "langid": SQL_LANGID_FIXTURE,
-    "fingerprint": SQL_FINGERPRINT_FIXTURE,
 }
+
+# Deterministic but not ANSI-SQL-expressible queries (custom 64-bit token
+# hashing, TWED scoring, LSH banding, seeded k-means): their oracle is a
+# PINNED FIXTURE frozen by scripts/gen_fixtures.py from /root/testdata/
+# sf0.01 — the comparison verifies determinism + no-regression, and
+# tests/test_fixture_oracles.py recomputes each on every test run so
+# drift fails CI first.
+ORACLE.update({name: fixture_sql(name) for name in FIXTURE_ORACLES})

@@ -1,19 +1,25 @@
 #!/usr/bin/env python
 """Generate pinned-fixture oracle parquet for the deterministic rows-only
-text ops (VERDICT r2 item 7): langid and fingerprint.
+queries (VERDICT r2 item 7, extended in round 3 to every rows-only query
+whose result is a deterministic function of the input).
 
-These two operators are deterministic functions of the input text but not
-practically expressible in ANSI SQL (custom 64-bit token hashing).  The
-oracle is therefore a PINNED FIXTURE: this script computes each query once
-over /root/testdata/sf0.01 and freezes the result as a single parquet file
-under fixtures/; ORACLE then reads it back with DuckDB's read_parquet.
-That converts the driver's rows-only check into a full row+schema+hash
-comparison — it verifies determinism and freedom from regression, not
-independent re-derivation (tests/test_fixture_oracles.py re-computes and
-compares on every test run, so silent drift fails CI before it fails the
-driver).
+These operators are deterministic but not practically expressible in ANSI
+SQL (custom 64-bit token hashing, TWED scoring, LSH banding, seeded
+k-means).  The oracle is therefore a PINNED FIXTURE: this script computes
+each query once over /root/testdata/sf0.01 and freezes the result as a
+single parquet file under fixtures/; ORACLE then reads it back with
+DuckDB's read_parquet.  That converts the driver's rows-only check into a
+full row+schema+hash comparison — it verifies determinism and freedom from
+regression, not independent re-derivation (tests/test_fixture_oracles.py
+re-computes and compares on every test run, so silent drift fails CI
+before it fails the driver).
 
-Usage: python scripts/gen_fixtures.py
+Determinism across parallelism is a registration requirement: run
+`python scripts/gen_fixtures.py --check NCPU` to recompute every fixture
+query in a fresh Ray session at NCPU cpus and diff bit-exactly against the
+frozen files before trusting a new registration.
+
+Usage: python scripts/gen_fixtures.py [--check NCPU]
 """
 
 from __future__ import annotations
@@ -30,22 +36,46 @@ SF_DIR = os.environ.get("GRAFT_FIXTURE_SF_DIR", "/root/testdata/sf0.01")
 OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "fixtures")
 
 
+def compute(name: str) -> pa.Table:
+    """Run one fixture query and return its canonically-sorted result."""
+    from cutwed_ray.pipelines.queries import FIXTURE_ORACLES, QUERIES
+
+    sort_keys = FIXTURE_ORACLES[name]
+    df = QUERIES[name](SF_DIR).to_pandas()
+    df = df.sort_values(sort_keys, kind="stable").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def main() -> None:
     import ray
 
+    ncpu = 4
+    check = "--check" in sys.argv
+    if check:
+        ncpu = int(sys.argv[sys.argv.index("--check") + 1])
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=4, include_dashboard=False,
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
                  logging_level="ERROR")
-    from cutwed_ray.pipelines.queries import q_fingerprint, q_langid
+    from cutwed_ray.pipelines.queries import FIXTURE_ORACLES
 
     os.makedirs(OUT_DIR, exist_ok=True)
-    for name, fn in (("langid", q_langid), ("fingerprint", q_fingerprint)):
-        t = pa.Table.from_pandas(fn(SF_DIR).to_pandas().sort_values("doc_id")
-                                 .reset_index(drop=True), preserve_index=False)
+    failures = []
+    for name in FIXTURE_ORACLES:
+        t = compute(name)
         out = os.path.join(OUT_DIR, f"{name}_sf0.01.parquet")
-        pq.write_table(t, out)
-        print(f"{name}: {t.num_rows} rows -> {out}")
+        if check:
+            want = pq.read_table(out)
+            same = t.schema == want.schema and t.equals(want)
+            print(f"{name}: {'OK bit-identical' if same else 'MISMATCH'} "
+                  f"({t.num_rows} rows, ncpu={ncpu})")
+            if not same:
+                failures.append(name)
+        else:
+            pq.write_table(t, out)
+            print(f"{name}: {t.num_rows} rows -> {out}")
     ray.shutdown()
+    if failures:
+        sys.exit(f"non-deterministic fixture queries: {failures}")
 
 
 if __name__ == "__main__":

@@ -1,15 +1,15 @@
 """Drift guards for the pinned-fixture oracles (scripts/gen_fixtures.py).
 
-langid / fingerprint are deterministic but not SQL-expressible; their
-driver oracle is a frozen parquet snapshot of the sf0.01 result.  These
-tests recompute both queries against the live testdata and compare to the
-fixture — so any change to tokenization, hashing, or the ops themselves
-fails here (with a regenerate hint) before it fails the driver's hash gate.
+Every query in FIXTURE_ORACLES is deterministic but not SQL-expressible;
+its driver oracle is a frozen parquet snapshot of the sf0.01 result.
+These tests recompute each query against the live testdata and compare to
+the fixture bit-exactly — so any change to tokenization, hashing, scoring,
+or the ops themselves fails here (with a regenerate hint) before it fails
+the driver's hash gate.
 """
 
 import os
 
-import numpy as np
 import pytest
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -21,48 +21,35 @@ pytestmark = pytest.mark.skipif(
 _HINT = "fixture drift — regenerate with: python scripts/gen_fixtures.py"
 
 
-def _fixture(name):
+def _names():
+    from cutwed_ray.pipelines.queries import FIXTURE_ORACLES
+
+    return sorted(FIXTURE_ORACLES)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_fixture_matches_recompute(ray_session, name):
     import pyarrow.parquet as pq
 
-    return pq.read_table(
-        os.path.join(FIXTURE_DIR, f"{name}_sf0.01.parquet")).to_pandas()
+    import scripts.gen_fixtures as gf
 
-
-def test_langid_fixture_matches_recompute(ray_session):
-    from cutwed_ray.pipelines.queries import q_langid
-
-    got = q_langid(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
-    want = _fixture("langid")
-    assert list(got.columns) == list(want.columns), _HINT
-    assert (got.doc_id.values == want.doc_id.values).all(), _HINT
-    assert (got.lang_pred.values == want.lang_pred.values).all(), _HINT
-    # bit-exact: the fixture was written from this same computation
-    assert (got.lang_score.values == want.lang_score.values).all(), _HINT
-
-
-def test_fingerprint_fixture_matches_recompute(ray_session):
-    from cutwed_ray.pipelines.queries import q_fingerprint
-
-    got = q_fingerprint(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
-    want = _fixture("fingerprint")
-    assert (got.doc_id.values == want.doc_id.values).all(), _HINT
-    assert (got.fingerprint.values == want.fingerprint.values).all(), _HINT
+    got = gf.compute(name)
+    want = pq.read_table(os.path.join(FIXTURE_DIR, f"{name}_sf0.01.parquet"))
+    assert got.schema == want.schema, f"{name}: schema drift — {_HINT}"
+    assert got.equals(want), f"{name}: value drift — {_HINT}"
 
 
 def test_fixture_oracle_sql_runs_in_duckdb():
     """The ORACLE strings must be valid DuckDB SQL returning the same
-    schema the Ray queries produce (the driver's comparison premise)."""
+    column names the Ray queries froze (the driver's comparison premise)."""
     import duckdb
+    import pyarrow.parquet as pq
 
-    from cutwed_ray.pipelines.queries import (
-        SQL_FINGERPRINT_FIXTURE,
-        SQL_LANGID_FIXTURE,
-    )
+    from cutwed_ray.pipelines.queries import FIXTURE_ORACLES, fixture_sql
 
-    li = duckdb.sql(SQL_LANGID_FIXTURE).df()
-    assert list(li.columns) == ["doc_id", "lang", "lang_pred", "lang_score"]
-    assert len(li) == 500
-    fp = duckdb.sql(SQL_FINGERPRINT_FIXTURE).df()
-    assert list(fp.columns) == ["doc_id", "fingerprint"]
-    assert len(fp) == 500
-    assert fp.fingerprint.dtype == np.int64
+    for name in FIXTURE_ORACLES:
+        df = duckdb.sql(fixture_sql(name)).df()
+        want = pq.read_table(
+            os.path.join(FIXTURE_DIR, f"{name}_sf0.01.parquet"))
+        assert list(df.columns) == want.column_names, name
+        assert len(df) == want.num_rows, name
