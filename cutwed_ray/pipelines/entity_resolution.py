@@ -684,6 +684,10 @@ def _score_with_checkpoint(ds_files, cfg, n_buckets, n_shards, metrics,
         import shutil
 
         shutil.rmtree(tmp_dir, ignore_errors=True)
+        # pre-create: write_parquet of an EMPTY dataset (a shard whose
+        # bucket ids are all elsewhere) writes no files and no directory,
+        # and os.replace would then fail on the missing tmp_dir.
+        os.makedirs(tmp_dir, exist_ok=True)
         pairs.write_parquet(tmp_dir)
         shutil.rmtree(out_dir, ignore_errors=True)
         os.replace(tmp_dir, out_dir)

@@ -961,8 +961,14 @@ def q_twed_pairs_documents(sf_dir: str):
         })
 
     cfg = default_config(threshold=0.35)
-    return score_pairs(ds.map_batches(to_files, batch_format="pyarrow"), cfg,
-                       n_buckets=16)
+    pairs = score_pairs(ds.map_batches(to_files, batch_format="pyarrow"), cfg,
+                        n_buckets=16)
+    # Semantic columns only: `bucket`/`n_dropped_bucket` are scheduling
+    # internals (the long-bucket placement heuristic changes them without
+    # changing the pair set), and the pinned-fixture oracle must not pin
+    # the scheduler.
+    return pairs.select_columns(["id_a", "id_b", "twed", "twed_norm",
+                                 "exact", "block_key"])
 
 
 def q_twed_topk_neighbors(sf_dir: str):
@@ -1016,7 +1022,10 @@ def q_link_documents(sf_dir: str):
 
     a = ds.map_batches(to_files(0), batch_format="pyarrow")
     b = ds.map_batches(to_files(1), batch_format="pyarrow")
-    return link_er(a, b, default_config(threshold=0.35), n_buckets=8)
+    linked = link_er(a, b, default_config(threshold=0.35), n_buckets=8)
+    # Drop scheduling internals (see q_twed_pairs_documents).
+    return linked.select_columns(["id_a", "id_b", "twed", "twed_norm",
+                                  "exact", "block_key", "side_a", "side_b"])
 
 
 def q_media_features(sf_dir: str):

@@ -59,23 +59,34 @@ class ExplodeBands:
         # block key per (row, band): mix(base ^ band_hash ^ band_id)
         band_ids = np.arange(nb, dtype=np.uint64)
         keys = splitmix64(base_key[:, None] ^ bands ^ (band_ids[None, :] + np.uint64(0x1234567)))
-        # The scoring shuffle's reduce emits blocks in ascending bucket
-        # order and the fused pairgen->score tasks launch in that order, so
         # LONG series (quadratic kernel cost, rare under the length
-        # distribution but dominant per pair) get the LOW bucket ids: they
-        # schedule first and cheap buckets fill the stage tail instead of a
-        # late straggler defining it.  Only the long tail is split out —
-        # a full cost-ordered id space (class * n_buckets + slot) measured
-        # 2x SLOWER at 16 CPUs: hundreds of distinct keys under-fill the
-        # scoring batches.  Still a pure function of block_key (lb is part
-        # of it), so all rows of a block share one bucket.
+        # distribution but dominant per pair) get dedicated bucket ids,
+        # INTERLEAVED through the id space at a fixed stride.  Why not
+        # contiguous low ids (the round-3 first attempt): the groupby's
+        # sort shuffle partitions the key range at ROW-count quantiles, and
+        # long rows are rare — contiguous long ids all fall into ONE range
+        # partition, whose fused pairgen->score task then carries ~25% of
+        # total quadratic cost (measured: a 12 s straggler task defining a
+        # 12.8 s stage wall at 16 CPUs).  Interleaving puts at most one
+        # long bucket into any row-quantile partition, so per-task cost is
+        # bounded by one long bucket (~2-3% of total) plus its short
+        # neighbors.  Only the long tail is split out — a full cost-ordered
+        # id space (class * n_buckets + slot) measured 2x SLOWER at 16
+        # CPUs: hundreds of distinct keys under-fill the scoring batches.
+        # Still a pure function of block_key (lb is part of it), so all
+        # rows of a block share one bucket.
         n_long = max(2, self.n_buckets // 8)
         n_rest = max(1, self.n_buckets - n_long)
+        stride = max(2, self.n_buckets // n_long)   # long ids: 0, s, 2s, ...
+        gap = stride - 1                             # short slots per gap
         is_long = lb >= np.uint64(23)          # ~1000+ tokens (base 1.35)
+        j = keys % np.uint64(n_rest)                 # short slot index
+        short_ids = j + j // np.uint64(gap) + np.uint64(1)
         buckets = np.where(
             is_long[:, None],
-            keys % np.uint64(n_long),
-            np.uint64(n_long) + keys % np.uint64(n_rest)).astype(np.int32)
+            np.minimum((keys % np.uint64(n_long)) * np.uint64(stride),
+                       np.uint64(self.n_buckets - 1)),
+            np.minimum(short_ids, np.uint64(self.n_buckets - 1))).astype(np.int32)
 
         # Build the 8x-replicated table with flat-buffer NumPy ops —
         # pa.Table.take on a list<float> column is ~100x slower than a
