@@ -108,14 +108,20 @@ def run_bench() -> dict:
                          minhash_perms=18, minhash_bands=6)
     er_sec = float("inf")
     n_passes = int(os.environ.get("GRAFT_BENCH_PASSES", "2"))
-    # bucket granularity, measured across 4/16/32 CPUs: 2 blocks/CPU on
-    # small clusters (fewer, larger pairgen groups amortize better: 8 beats
-    # 16 buckets at 4 CPUs); 6 blocks/CPU at 16 CPUs (96 beats 64: scoring
-    # tasks = buckets, and ~6 waves/CPU soften last-wave quantization,
-    # round-3 cooled sweep 16.5 s vs 18.3 s); flat 64 at 32 CPUs (64 beats
-    # 128: buckets below ~2x score_batch_pairs under-fill scoring batches)
-    n_buckets = (2 * NUM_CPUS if NUM_CPUS <= 8
-                 else 6 * NUM_CPUS if NUM_CPUS <= 16 else 64)
+    # bucket granularity: 12 buckets/CPU at EVERY cluster size (cooled
+    # A/B sweep after the malloc tune: 4 CPUs 48 beats 8 buckets 33.4 vs
+    # 40.9 s; 16 CPUs 192 beats 96, 11.1 vs 12.7 s; 32 CPUs 384 beats 64,
+    # 10.3 vs 12.5 s — max scoring task drops 37.5 -> 8.2 s at 4 CPUs).
+    # The round-2 'coarse buckets win' findings were an artifact of the
+    # pre-retention allocator: under-filled scoring batches re-paid a
+    # page-fault storm per task, which persistent scratch + malloc tuning
+    # eliminated; with those fixed, task balance dominates and finer
+    # buckets win until ~2x that (384@16 measured 12.8 s: under-fill
+    # returns).  Scoring-task count follows reduce-block bundling, so the
+    # read-block count (tune_data_context: 8 blocks/CPU) must rise with it.
+    # Small corpora floor at ~300 rows/bucket (20k rows @ 8 CPUs: 32
+    # buckets beat 96, 4.3 vs 4.6 s — shallow optimum, rows-bound).
+    n_buckets = min(12 * NUM_CPUS, max(2 * NUM_CPUS, n_files // 300))
     for _ in range(n_passes):
         t0 = time.time()
         res = run_er(rd.read_parquet(f"{cpath}/files"), cfg,

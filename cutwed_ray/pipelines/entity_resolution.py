@@ -70,8 +70,12 @@ def tune_data_context(num_cpus: int) -> None:
     # Ray's default read parallelism target of 200 blocks turns every
     # downstream map stage into ~200 tiny tasks (measured: the explode
     # stage spent 2.2 s wall on 0.7 core-s of work — pure scheduling);
-    # 4 blocks/CPU keeps pipelining without the task-storm
-    ctx.read_op_min_num_blocks = max(8, min(200, 4 * num_cpus))
+    # 8 blocks/CPU keeps pipelining without the task-storm.  8 (not the
+    # round-2 4): the scoring stage's task count follows reduce-block
+    # bundling, and 8/CPU halves its straggler (16 CPUs: max task
+    # 7.96 -> 5.15 s, wall 15.9 -> 14.6 s in the same cooled window)
+    # while map stages bundle small blocks by batch_size anyway.
+    ctx.read_op_min_num_blocks = max(8, min(256, 8 * num_cpus))
     ctx.enable_progress_bars = False
 
 
