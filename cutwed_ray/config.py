@@ -60,6 +60,15 @@ class PipelineConfig:
     # broadcast-strategy byte budget for the token store; None = 25% of the
     # object store. Above it the pipeline auto-falls-back to "carry".
     broadcast_store_max_bytes: int | None = None
+    # broadcast-strategy candidate generation: one remote task over the
+    # materialized tokenized blocks (shuffle-free, globally cost-balanced
+    # longest-first scoring chunks — see stages/pairgen.central_pair_chunks)
+    # instead of the sort-shuffle + per-bucket map_groups.  Only applies
+    # under the broadcast byte budget; capped by max_rows (band-row count)
+    # beyond which the single-task lexsort would dominate — the shuffle
+    # path takes over there (and carry mode never uses this).
+    central_pairgen: bool = True
+    central_pairgen_max_rows: int = 8_000_000
     # fuse tokenize->tee->shuffle->score into ONE execution (stages/tee.py).
     # Measured SLOWER than materialize-then-score on this box (sf0.1:
     # +10-15% at both 4 and 16 CPUs — the per-batch plasma tee + sync

@@ -329,6 +329,30 @@ def _score_pairs_broadcast_from_tok(tok, cfg: PipelineConfig, n_buckets: int,
     # serial driver-side concat + ray.put on the critical path)
     store_ref = build_token_store_async(tok)
 
+    # shuffle-free candidate generation (default): broadcast mode already
+    # pinned the whole token store in plasma, so the strictly-smaller band
+    # table fits one remote task — pairs come back as n_buckets equal-cost
+    # longest-first chunks and scoring is a flat map_batches over them
+    # with NO shuffle barrier, reduce straggler, or task ramp (measured:
+    # those three were the scoring stage's tail at 16 CPUs).  The row cap
+    # keeps the single-task lexsort off the critical path for huge
+    # in-budget corpora; past it, the bucketed sort-shuffle below runs.
+    if (cfg.central_pairgen
+            and tok.count() * cfg.minhash_bands <= cfg.central_pairgen_max_rows):
+        from cutwed_ray.stages.pairgen import central_pair_chunks
+
+        n_chunks = max(1, int(n_buckets))
+        gen = ray.remote(num_cpus=1, num_returns=n_chunks)(central_pair_chunks)
+        chunk_refs = gen.remote(cfg, n_chunks, *tok.to_arrow_refs())
+        if n_chunks == 1:
+            chunk_refs = [chunk_refs]
+        import ray.data as rd
+
+        scored = rd.from_arrow_refs(list(chunk_refs)).map_batches(
+            make_scoring_fn(store_ref, cfg), batch_format="pyarrow",
+            batch_size=None, num_cpus=1)
+        return scored.drop_columns(["pair_max_len"])
+
     light = tok.map_batches(
         ExplodeBands(cfg, n_buckets, carry_tokens=False), batch_format="pyarrow")
     # the candidate-pair table is tiny (ids only): generate it with elastic

@@ -149,6 +149,104 @@ def generate_block_pairs(key_np, row_id, content_key, bands, band_id_np,
             np.concatenate(out_exact), np.concatenate(out_key), n_dropped)
 
 
+def central_pair_chunks(cfg: PipelineConfig, n_chunks: int, *tables):
+    """All-at-once candidate generation for the BROADCAST strategy — the
+    shuffle-free path.
+
+    Broadcast mode already requires the tokenized corpus to fit a plasma
+    byte budget; the light band-key table is strictly smaller than the
+    token store, so when the store fits, candidate generation can run in
+    ONE remote task over the materialized tokenized blocks instead of a
+    sort-shuffle + per-bucket ``map_groups``.  That removes the shuffle
+    barrier (scoring used to idle until every explode/sort-map task
+    finished), the reduce-partition straggler (a long length-class bucket
+    fused into one task), and the task ramp — the three measured
+    tail-terms of the scoring stage at 16 CPUs.
+
+    Pairs come out in globally DESCENDING length order, sliced into
+    ``n_chunks`` equal-*cost* chunks (cost ~ padded-length², the kernel's
+    per-pair work), so the scoring stage gets perfectly balanced tasks
+    with the expensive ones scheduled first.  Intended to be invoked as a
+    ``ray.remote(num_returns=n_chunks)`` task: returns a list of exactly
+    ``n_chunks`` pair tables (empty-padded), each becoming one scoring
+    block via ``ray.data.from_arrow_refs``.
+
+    The pair SET (ids, exact flags, block keys, salt-cap drop count) is
+    identical to the bucketed shuffle path: ``generate_block_pairs`` is
+    bucket-agnostic and every row of a block shared one bucket there, so
+    partitioning never affected which pairs exist.  The carry strategy
+    keeps the shuffle — this path is only for corpora already under the
+    broadcast budget (the 100-TB path never enters here).
+    """
+    from cutwed_ray.stages.blocking import ExplodeBands
+
+    empty = PAIRGEN_SCHEMA.empty_table()
+    ex = ExplodeBands(cfg, n_buckets=1, carry_tokens=False)
+    parts = [ex(t) for t in tables if t.num_rows]
+    if not parts:
+        return [empty] * n_chunks
+    band = pa.concat_tables(parts).combine_chunks()
+    n = band.num_rows
+    if n < 2:
+        return [empty] * n_chunks
+
+    key_np = band.column("block_key").to_numpy()
+    row_id = band.column("row_id").to_numpy()
+    n_tokens = band.column("n_tokens").to_numpy().astype(np.int64)
+    band_id_np = band.column("band_id").to_numpy()
+    content_key = band.column("content_key").to_numpy().view(np.uint64)
+    bands = np.stack(
+        [band.column(f"band_{i}").to_numpy() for i in range(cfg.minhash_bands)],
+        axis=1)
+
+    ia, ib, exact, bkeys, n_dropped = generate_block_pairs(
+        key_np, row_id, content_key, bands, band_id_np, cfg)
+    if ia.size == 0:
+        # (drops with zero surviving pairs are silently lost — exactly the
+        # shuffle path's PairGen.__call__ behavior for an empty bucket)
+        return [empty] * n_chunks
+    id_a, id_b = row_id[ia], row_id[ib]
+    swap = id_a > id_b
+    pm = np.maximum(n_tokens[ia], n_tokens[ib]).astype(np.int32)
+    order = np.argsort(-pm.astype(np.int64), kind="stable")
+    id_a, id_b = id_a[order], id_b[order]
+    swap = swap[order]
+    exact = exact[order]
+    bkeys = bkeys[order]
+    pm = pm[order]
+    a = np.where(swap, id_b, id_a)
+    b = np.where(swap, id_a, id_b)
+
+    # equal-COST chunking: kernel work per pair ~ padded_len² (zero for
+    # exact dups, which skip the kernel); longest chunks hold few pairs,
+    # short chunks many — every scoring task lands near cost/n_chunks
+    cost = np.where(exact, 1.0, (pm.astype(np.float64) + 1.0) ** 2)
+    cum = np.cumsum(cost)
+    total = float(cum[-1])
+    n_chunks = max(1, int(n_chunks))
+    cuts = np.searchsorted(
+        cum, total * np.arange(1, n_chunks) / n_chunks, side="left") + 1
+    bounds = np.r_[0, cuts, a.shape[0]]
+    dropped_col = np.zeros(a.shape[0], dtype=np.int64)
+    dropped_col[0] = n_dropped
+    out = []
+    for c in range(n_chunks):
+        s, e = int(bounds[c]), int(bounds[c + 1])
+        if e <= s:
+            out.append(empty)
+            continue
+        out.append(pa.table({
+            "id_a": pa.array(a[s:e], pa.int64()),
+            "id_b": pa.array(b[s:e], pa.int64()),
+            "exact": pa.array(exact[s:e], pa.bool_()),
+            "block_key": pa.array(bkeys[s:e], pa.int64()),
+            "bucket": pa.array(np.full(e - s, c, dtype=np.int32), pa.int32()),
+            "pair_max_len": pa.array(pm[s:e], pa.int32()),
+            "n_dropped_bucket": pa.array(dropped_col[s:e], pa.int64()),
+        }))
+    return out
+
+
 class PairGen:
     """map_groups callable: one bucket of light band rows -> candidate pairs."""
 

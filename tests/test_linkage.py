@@ -98,3 +98,30 @@ def test_link_er_strategies_agree(ray_session, two_sides):
     assert len(k1) == len(k2)
     assert (k1.id_a.values == k2.id_a.values).all()
     assert np.allclose(k1.twed.values, k2.twed.values)
+
+
+def test_central_pairgen_matches_shuffle_broadcast(ray_session, two_sides):
+    """The shuffle-free central candidate generation (broadcast default)
+    must produce the identical pair set, scores, exact flags and salt-cap
+    drop total as the bucketed sort-shuffle broadcast path."""
+    import ray.data as rd
+
+    from cutwed_ray.pipelines import entity_resolution as er
+
+    a, b, truth = two_sides
+    files = rd.from_arrow(a)
+    p1 = er.score_pairs(files, default_config(threshold=0.25),
+                        n_buckets=8, strategy="broadcast").to_pandas()
+    assert er.LAST_SCORE_STRATEGY == "broadcast"
+    p2 = er.score_pairs(files,
+                        default_config(threshold=0.25, central_pairgen=False),
+                        n_buckets=8, strategy="broadcast").to_pandas()
+    assert er.LAST_SCORE_STRATEGY == "broadcast"
+    k1 = p1.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    k2 = p2.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(k1) == len(k2)
+    assert (k1.id_a.values == k2.id_a.values).all()
+    assert (k1.id_b.values == k2.id_b.values).all()
+    assert (k1.exact.values == k2.exact.values).all()
+    assert np.allclose(k1.twed.values, k2.twed.values)
+    assert k1.n_dropped_bucket.sum() == k2.n_dropped_bucket.sum()
