@@ -196,6 +196,7 @@ def run_scaling() -> dict:
         "cpus_hi": hi_cpus,
         "sec_lo": t_lo,
         "sec_hi": t_hi,
+        "n_files": lo.get("er", {}).get("n_files"),
         "pairs_per_sec_lo": lo.get("er", {}).get("pairs_per_sec"),
         "pairs_per_sec_hi": hi.get("er", {}).get("pairs_per_sec"),
         "queries_lo": lo["queries"],
