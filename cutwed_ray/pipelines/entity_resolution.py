@@ -7,19 +7,23 @@ reference's batch entry point, SURVEY.md §3.2):
       -> map_batches(TokenizeStage).materialize()   content -> token series
          (ONE materialization, reused for scoring AND the final labeling)
       -> [broadcast] token store assembled in a remote task (plasma)
-      -> map_batches(ExplodeBands)             rows x bands -> light block rows
-      -> groupby(bucket).map_groups(PairGen)   THE shuffle -> candidate pairs
+      -> central_pair_chunks remote task       band table -> candidate pairs
+         (shuffle-FREE: broadcast mode is under a plasma byte budget by
+          definition, so the band table fits one task; pairs come back as
+          equal-cost longest-first chunks — no shuffle barrier/straggler)
       -> map_batches(score)                    elastic TASKS, store from plasma
-         (one streaming execution end-to-end: no materialize/repartition
-          barriers between shuffle, pairgen and scoring)
-      -> filter(twed_norm <= tau)              edges (single driver pass)
+      -> filter(twed_norm <= tau)              edges (single distributed pass)
       -> union-find (small) / distributed label propagation + join (large)
       -> write_parquet
 
-The carry strategy instead ships token lists through the shuffle and
-scores inside the bucket tasks (ScoreBucket) — the beyond-store-budget
-path; ``strategy="broadcast"``/``"auto"`` self-guards on a byte budget
-and falls back to carry.  With ``cfg.checkpoint_dir`` set, the tokenized
+Past ``central_pairgen_max_rows`` (or with ``cfg.central_pairgen=False``)
+the broadcast strategy instead shuffles light band rows:
+``map_batches(ExplodeBands)`` -> ``groupby(bucket).map_groups(PairGen)``
+-> fused scoring, one streaming execution with no repartition barrier.
+The carry strategy ships token lists through that shuffle and scores
+inside the bucket tasks (ScoreBucket) — the beyond-store-budget path;
+``strategy="broadcast"``/``"auto"`` self-guards on a byte budget and
+falls back to carry.  With ``cfg.checkpoint_dir`` set, the tokenized
 table and each scoring shard are checkpointed to Parquet with a manifest,
 and a rerun skips completed shards (deterministic shard = bucket %
 n_shards).
