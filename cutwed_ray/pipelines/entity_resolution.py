@@ -345,11 +345,11 @@ def _score_pairs_broadcast_from_tok(tok, cfg: PipelineConfig, n_buckets: int,
             and tok.count() * cfg.minhash_bands <= cfg.central_pairgen_max_rows):
         from cutwed_ray.stages.pairgen import central_pair_chunks
 
-        n_chunks = max(1, int(n_buckets))
+        # floor 2: with num_returns=1 Ray would store the returned LIST as
+        # the single object instead of unpacking it into per-chunk refs
+        n_chunks = max(2, int(n_buckets))
         gen = ray.remote(num_cpus=1, num_returns=n_chunks)(central_pair_chunks)
         chunk_refs = gen.remote(cfg, n_chunks, *tok.to_arrow_refs())
-        if n_chunks == 1:
-            chunk_refs = [chunk_refs]
         import ray.data as rd
 
         scored = rd.from_arrow_refs(list(chunk_refs)).map_batches(
