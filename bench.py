@@ -14,9 +14,11 @@ table (BASELINE.json input_hint schema), sized by the sf of GRAFT_SF_DIR
 and cached as Parquet under /tmp.  Also times the flagship over the
 testdata documents table plus representative operator queries.
 
-`bench.py --scaling` runs the same workload in fresh processes at
-num_cpus=8 and 32 and reports both times + scaling efficiency
-(BASELINE.md two-cluster-size criterion; see that file for protocol).
+`bench.py --scaling` runs the flagship at GRAFT_SCALE_LO/HI CPUs
+(default 4/16) as GRAFT_SCALE_PAIRS back-to-back leg pairs in fresh
+processes and reports the median per-pair efficiency (BASELINE.md
+two-cluster-size criterion; pairing keeps both legs of each ratio inside
+one host-throughput phase — see run_scaling and BASELINE.md protocol).
 """
 
 from __future__ import annotations
@@ -168,12 +170,60 @@ def run_bench() -> dict:
     }
 
 
+def _host_probe(secs: float = 0.6) -> dict:
+    """Cheap host-health probe logged per scaling pair: single-core spin
+    rate (arbitrary units, comparable across runs), steal%% during the
+    spin, and DRAM copy bandwidth.  This guest's host oscillates through
+    ~10-minute degraded phases invisible to guest loadavg (other tenants
+    — shows up as lower spin/copy rates, sometimes steal); the probe lets
+    the campaign table show WHICH pairs ran degraded."""
+    import numpy as np
+
+    def stat():
+        return list(map(int, open("/proc/stat").readline().split()[1:]))
+
+    a = stat()
+    end = time.perf_counter() + secs
+    n = 0
+    x = 1
+    while time.perf_counter() < end:
+        for _ in range(10_000):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        n += 10_000
+    spin = n / secs / 1e6
+    b = stat()
+    d = [y - x for x, y in zip(a, b)]
+    steal = d[7] / max(sum(d), 1) * 100
+    buf = np.ones(64 << 20, dtype=np.uint8)
+    t0 = time.perf_counter()
+    dst = buf.copy()                       # fresh dest: first-touch faults
+    fault_gbps = buf.nbytes * 2 / (time.perf_counter() - t0) / 1e9
+    t0 = time.perf_counter()
+    for _ in range(3):
+        dst[:] = buf                       # preallocated dest: pure memcpy
+    gbps = 3 * buf.nbytes * 2 / (time.perf_counter() - t0) / 1e9
+    del buf, dst
+    return {"spin": round(spin, 2), "steal_pct": round(steal, 2),
+            "mem_gbps": round(gbps, 2), "fault_gbps": round(fault_gbps, 2)}
+
+
 def run_scaling() -> dict:
+    """Two-cluster-size criterion, phase-paired protocol.
+
+    The host under this guest oscillates through ~10-minute throughput
+    phases; a lo-leg and hi-leg measured in different phases corrupt the
+    ratio in either direction.  So the legs run as back-to-back PAIRS
+    (lo process then hi process, ~2-4 min total — inside one phase) and
+    the reported efficiency is the MEDIAN of the per-pair ratios over
+    GRAFT_SCALE_PAIRS pairs (default 3).  Each leg is a fresh process
+    with GRAFT_BENCH_PASSES ER passes (default 2: first warms the
+    prestarted workers, min is the steady-state measure).  A host-health
+    probe (spin rate / steal / DRAM bandwidth) is recorded before each
+    pair so degraded pairs are visible in the output.
+    """
     def run(ncpu: int) -> dict:
-        # 3 ER passes per level (min taken): the ±25% ambient-load noise on
-        # this shared box otherwise dominates the efficiency ratio
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_PASSES=os.environ.get("GRAFT_BENCH_PASSES", "3"))
+                   GRAFT_BENCH_PASSES=os.environ.get("GRAFT_BENCH_PASSES", "2"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
@@ -183,19 +233,28 @@ def run_scaling() -> dict:
     # which would understate multi-node scaling (see BASELINE.md)
     lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    # one untimed generation/cache warm pass happens inside the first run
-    lo = run(lo_cpus)
-    hi = run(hi_cpus)
-    t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    n_pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", "3"))
+    pairs = []
+    lo = hi = None
+    for _ in range(n_pairs):
+        probe = _host_probe()
+        lo = run(lo_cpus)
+        hi = run(hi_cpus)
+        ratio = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+        pairs.append({"eff": round(ratio, 3), "sec_lo": lo["value"],
+                      "sec_hi": hi["value"], **probe})
+    effs = sorted(p["eff"] for p in pairs)
+    eff = effs[len(effs) // 2] if len(effs) % 2 else \
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "cpus_lo": lo_cpus,
         "cpus_hi": hi_cpus,
-        "sec_lo": t_lo,
-        "sec_hi": t_hi,
+        "sec_lo": min(p["sec_lo"] for p in pairs),
+        "sec_hi": min(p["sec_hi"] for p in pairs),
+        "pairs_detail": pairs,
         "n_files": lo.get("er", {}).get("n_files"),
         "pairs_per_sec_lo": lo.get("er", {}).get("pairs_per_sec"),
         "pairs_per_sec_hi": hi.get("er", {}).get("pairs_per_sec"),
