@@ -149,7 +149,8 @@ def generate_block_pairs(key_np, row_id, content_key, bands, band_id_np,
             np.concatenate(out_exact), np.concatenate(out_key), n_dropped)
 
 
-def central_pair_chunks(cfg: PipelineConfig, n_chunks: int, *tables):
+def central_pair_chunks(cfg: PipelineConfig, n_chunks: int, stratum: int,
+                        n_strata: int, *tables):
     """All-at-once candidate generation for the BROADCAST strategy — the
     shuffle-free path.
 
@@ -177,6 +178,16 @@ def central_pair_chunks(cfg: PipelineConfig, n_chunks: int, *tables):
     partitioning never affected which pairs exist.  The carry strategy
     keeps the shuffle — this path is only for corpora already under the
     broadcast budget (the 100-TB path never enters here).
+
+    ``stratum``/``n_strata`` parallelize the generation itself: blocks
+    are atomic under ``block_key % n_strata``, so S such tasks (each
+    keeping only its stratum's band rows) produce disjoint,
+    union-identical pair sets — the single-task lexsort stops being a
+    serial term on the critical path.  The cross-band first-shared-band
+    dedup still works across strata because every band row carries the
+    FULL signature: each stratum decides each candidate pair identically
+    and only the first-shared-band's block (wherever it lives) keeps it
+    — the exact mechanism the bucketed path relied on.
     """
     from cutwed_ray.stages.blocking import ExplodeBands
 
@@ -186,6 +197,11 @@ def central_pair_chunks(cfg: PipelineConfig, n_chunks: int, *tables):
     if not parts:
         return [empty] * n_chunks
     band = pa.concat_tables(parts).combine_chunks()
+    if n_strata > 1:
+        keys_u = band.column("block_key").to_numpy().view(np.uint64)
+        band = band.filter(
+            pa.array(keys_u % np.uint64(n_strata) == np.uint64(stratum)))
+        band = band.combine_chunks()
     n = band.num_rows
     if n < 2:
         return [empty] * n_chunks

@@ -125,3 +125,33 @@ def test_central_pairgen_matches_shuffle_broadcast(ray_session, two_sides):
     assert (k1.exact.values == k2.exact.values).all()
     assert np.allclose(k1.twed.values, k2.twed.values)
     assert k1.n_dropped_bucket.sum() == k2.n_dropped_bucket.sum()
+
+
+def test_stratified_central_pairgen_union_identical(two_sides):
+    """S stratified central_pair_chunks calls must union to exactly the
+    single-task pair set (blocks are atomic under block_key % S)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from cutwed_ray.pipelines.entity_resolution import tokenize as _  # noqa: F401
+    from cutwed_ray.stages.pairgen import central_pair_chunks
+    from cutwed_ray.stages.tokenize import TokenizeStage
+
+    a, b, truth = two_sides
+    cfg = default_config(threshold=0.25)
+    tok = TokenizeStage(cfg)(a)
+
+    def collect(tbls):
+        df = pa.concat_tables(tbls).to_pandas()
+        return (df.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+                df.n_dropped_bucket.sum())
+
+    single, drop1 = collect(central_pair_chunks(cfg, 7, 0, 1, tok))
+    parts = []
+    for s in range(3):
+        parts.extend(central_pair_chunks(cfg, 3, s, 3, tok))
+    strat, drop3 = collect(parts)
+    assert len(single) == len(strat) > 0
+    for col in ("id_a", "id_b", "exact", "block_key"):
+        assert (single[col].values == strat[col].values).all(), col
+    assert drop1 == drop3
