@@ -502,10 +502,12 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
     metrics["score_sec"] = round(time.time() - t0, 3)
     metrics["strategy"] = LAST_SCORE_STRATEGY
 
-    # counters + thresholded edges in ONE distributed pass over the
-    # (materialized) pair table: each batch reduces to a 1-row summary with
-    # the edge ids as list columns, so only counters + edges ever reach the
-    # driver (the previous driver-side iter_batches streamed EVERY pair)
+    # counters + thresholded edges.  Small materialized pair tables (byte
+    # size known from metadata, under a driver budget) are summarized
+    # directly on the driver — one ray.get of already-local plasma blocks
+    # beats an executor round-trip.  Bigger tables use ONE distributed
+    # pass: each batch reduces to a 1-row summary with the edge ids as
+    # list columns, so only counters + edges ever reach the driver.
     t1 = time.time()
     thr = cfg.threshold
 
@@ -528,20 +530,42 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
     n_pairs = n_exact = n_dropped = n_edges = 0
     edge_a, edge_b = [], []
     overflow = False
-    summary = pairs.map_batches(summarize, batch_format="pyarrow",
-                                batch_size=1 << 18)
-    for b in summary.iter_batches(batch_size=256, batch_format="pyarrow"):
-        n_pairs += int(pc.sum(b.column("n_pairs")).as_py() or 0)
-        n_exact += int(pc.sum(b.column("n_exact")).as_py() or 0)
-        n_dropped += int(pc.sum(b.column("n_dropped")).as_py() or 0)
-        ea = b.column("edge_a").combine_chunks().flatten().to_numpy()
-        n_edges += ea.shape[0]
-        if not overflow:
-            edge_a.append(ea)
-            edge_b.append(b.column("edge_b").combine_chunks().flatten().to_numpy())
-            if n_edges > cfg.max_driver_edges:
-                overflow = True
-                edge_a, edge_b = [], []
+    est_pairs = _cheap_size_estimate(pairs)
+    if est_pairs is not None and est_pairs <= (64 << 20):
+        # small materialized pair table: summarize on the driver directly —
+        # one ray.get of already-local plasma blocks beats a whole executor
+        # round-trip (identical counters/edges, just no extra execution)
+        import ray
+
+        tabs = [t for t in ray.get(list(pairs.to_arrow_refs())) if t.num_rows]
+        for t in tabs:
+            n_pairs += t.num_rows
+            n_exact += int(pc.sum(t.column("exact")).as_py() or 0)
+            if "n_dropped_bucket" in t.column_names:
+                n_dropped += int(pc.sum(t.column("n_dropped_bucket")).as_py() or 0)
+            eb = t.filter(pc.less_equal(t.column("twed_norm"), thr))
+            n_edges += len(eb)
+            if not overflow:
+                edge_a.append(eb.column("id_a").to_numpy())
+                edge_b.append(eb.column("id_b").to_numpy())
+                if n_edges > cfg.max_driver_edges:
+                    overflow = True
+                    edge_a, edge_b = [], []
+    else:
+        summary = pairs.map_batches(summarize, batch_format="pyarrow",
+                                    batch_size=1 << 18)
+        for b in summary.iter_batches(batch_size=256, batch_format="pyarrow"):
+            n_pairs += int(pc.sum(b.column("n_pairs")).as_py() or 0)
+            n_exact += int(pc.sum(b.column("n_exact")).as_py() or 0)
+            n_dropped += int(pc.sum(b.column("n_dropped")).as_py() or 0)
+            ea = b.column("edge_a").combine_chunks().flatten().to_numpy()
+            n_edges += ea.shape[0]
+            if not overflow:
+                edge_a.append(ea)
+                edge_b.append(b.column("edge_b").combine_chunks().flatten().to_numpy())
+                if n_edges > cfg.max_driver_edges:
+                    overflow = True
+                    edge_a, edge_b = [], []
     metrics["n_edges"] = n_edges
 
     # label the rows: reuse the tokenized table (row_id + sha256 already

@@ -240,8 +240,15 @@ def central_pair_chunks(cfg: PipelineConfig, n_chunks: int, stratum: int,
     cum = np.cumsum(cost)
     total = float(cum[-1])
     n_chunks = max(1, int(n_chunks))
-    cuts = np.searchsorted(
-        cum, total * np.arange(1, n_chunks) / n_chunks, side="left") + 1
+    # tapered targets: the last ~1/6 of chunks carry HALF the cost of the
+    # others, so the scoring stage's tail is filled by half-size tasks —
+    # the stage's finish skew drops from one full chunk-cost to half
+    tail_n = n_chunks // 6
+    w = np.ones(n_chunks)
+    if tail_n:
+        w[-tail_n:] = 0.5
+    targets = np.cumsum(w)[:-1] / w.sum() * total
+    cuts = np.searchsorted(cum, targets, side="left") + 1
     bounds = np.r_[0, cuts, a.shape[0]]
     dropped_col = np.zeros(a.shape[0], dtype=np.int64)
     dropped_col[0] = n_dropped
