@@ -487,7 +487,9 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
                 # built in an overlapped remote task; the from_tok guard
                 # falls back to carry if the materialized size exceeds the
                 # budget (covers the est-unknowable case too)
+                t_tok = time.time()
                 tok = tokenize(ds_files, cfg).materialize()
+                metrics["tokenize_sec"] = round(time.time() - t_tok, 3)
                 pairs = _score_pairs_broadcast_from_tok(
                     tok, cfg, n_buckets, conc).materialize()
             else:

@@ -77,6 +77,23 @@ def build_token_store(tokenized_ds):
     return ray.put(store), store["row_ids"].shape[0], n_bytes
 
 
+def _store_shards(n_blocks: int, cpus: int | None = None) -> int:
+    """Shard count for the parallel store build: one concat task per shard.
+
+    A single-task build is a DATA-PROPORTIONAL serial term that gates the
+    whole scoring stage (measured 17-18 s at 480k rows: every worker's
+    first scoring task blocks in ``ray.get(store_ref)`` while one task
+    faults/concats ~780 MB).  Sharding by block subsets cuts that latency
+    ~K-fold; the scorer looks ids up per shard (K vectorized
+    searchsorteds — K is small)."""
+    if cpus is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+    return max(1, min(16, cpus, n_blocks))
+
+
 #: per-worker single-slot scorer cache: scoring runs as elastic TASKS in
 #: prestarted reusable workers (no actor-process startup), so the mapped
 #: store + config live here between batches of the same execution
@@ -97,43 +114,66 @@ def _pack_scratch(key: str, size: int) -> np.ndarray:
     return buf
 
 
-def make_scoring_fn(store_ref, cfg: PipelineConfig):
+def make_scoring_fn(store_refs, cfg: PipelineConfig):
     """Stateless-callable scoring fn for ``map_batches`` TASKS.
 
-    The token store is plasma-mapped once per worker (cached by ref) —
-    task-based scoring keeps the elasticity and prestarted-worker reuse
-    that a fixed actor pool gives up, at zero per-batch cost since
-    ``ray.get`` of a mapped object is ~µs.
+    The token store (a single ref or a list of shard refs) is
+    plasma-mapped once per worker (cached by ref) — task-based scoring
+    keeps the elasticity and prestarted-worker reuse that a fixed actor
+    pool gives up, at zero per-batch cost since ``ray.get`` of a mapped
+    object is ~µs.
+
+    The slot cache must be reached through the module (not the closure's
+    own ``__globals__``): cloudpickle captures a closure's referenced
+    globals BY VALUE, so each unpickled task would otherwise see a fresh
+    ``_SCORER_SLOT`` copy and re-attach every batch.
     """
 
     import json
 
-    key = (store_ref.hex(), json.dumps(cfg.to_dict(), sort_keys=True))
+    refs = list(store_refs) if isinstance(store_refs, (list, tuple)) \
+        else [store_refs]
+    key = (tuple(r.hex() for r in refs),
+           json.dumps(cfg.to_dict(), sort_keys=True))
 
     def score(batch: pa.Table) -> pa.Table:
-        if _SCORER_SLOT[0] != key:
-            _SCORER_SLOT[0] = key
-            _SCORER_SLOT[1] = TwedScorerBroadcast(store_ref, cfg)
-        return _SCORER_SLOT[1](batch)
+        from cutwed_ray import _taskstats
+        from cutwed_ray.stages import scorer_broadcast as _sb
+
+        slot = _sb._SCORER_SLOT
+        if slot[0] != key:
+            slot[0] = key
+            slot[1] = _taskstats.record(
+                "store_attach", _sb.TwedScorerBroadcast, refs, cfg)
+        return _taskstats.record("score", slot[1], batch)
 
     return score
 
 
-def build_token_store_async(tokenized_ds):
-    """Store build as a remote TASK: the block concat runs in a worker
-    (zero driver bytes) and overlaps with whatever the driver schedules
-    next (candidate generation).  Returns an ObjectRef resolving to the
-    store dict; scoring tasks ``ray.get`` it (plasma-mapped, zero-copy).
+def build_token_store_async(tokenized_ds, n_shards: int | None = None):
+    """Store build as parallel remote TASKS: the block concat runs in K
+    workers (zero driver bytes) and overlaps with whatever the driver
+    schedules next (candidate generation).  Returns a LIST of ObjectRefs,
+    each resolving to one shard's store dict; scoring tasks ``ray.get``
+    them (plasma-mapped, zero-copy) and look ids up per shard.
+
+    Sharding matters: a single concat task over the whole corpus is a
+    data-proportional serial term that GATES scoring start — every
+    worker's first scoring task blocks on the ref (measured 17-18 s at
+    480k rows / 780 MB of tokens, first-touch faults dominate).  K tasks
+    over disjoint block subsets cut that latency ~K-fold.
 
     Expects a MATERIALIZED dataset: the refs are passed straight to the
-    builder (no projection execution — the assembler picks out row_id and
-    tokens itself; extra columns cost nothing, the blocks are already in
-    plasma)."""
+    builders (no projection execution — the assembler picks out row_id
+    and tokens itself; extra columns cost nothing, the blocks are already
+    in plasma)."""
     import ray
 
     refs = list(tokenized_ds.to_arrow_refs())
+    k = _store_shards(len(refs)) if n_shards is None \
+        else max(1, min(n_shards, len(refs)))
     builder = ray.remote(num_cpus=1)(_assemble_store_from_blocks)
-    return builder.remote(*refs)
+    return [builder.remote(*refs[s::k]) for s in range(k)]
 
 
 class TwedScorerBroadcast:
@@ -144,37 +184,78 @@ class TwedScorerBroadcast:
     (vectorized flat gather) and runs the compiled anti-diagonal kernel.
     """
 
-    def __init__(self, store_ref, cfg: PipelineConfig | None = None):
+    #: shard-id shift for the packed global index: (shard << _SH) | idx.
+    #: idx < 2**48 always (shard row counts are bounded far below that).
+    _SH = 48
+
+    def __init__(self, store_refs, cfg: PipelineConfig | None = None):
         import ray
 
         self.cfg = cfg or PipelineConfig()
-        store = ray.get(store_ref)
-        self.row_ids = store["row_ids"]
-        self.starts = store["starts"]
-        self.lens = store["lens"]
-        self.values = store["values"]
+        if not isinstance(store_refs, (list, tuple)):
+            store_refs = [store_refs]
+        shards = ray.get(list(store_refs))
+        shards = [s for s in shards if s["row_ids"].shape[0]] or shards[:1]
+        self.sh_ids = [s["row_ids"] for s in shards]
+        self.sh_starts = [s["starts"] for s in shards]
+        self.sh_lens = [s["lens"] for s in shards]
+        self.sh_values = [s["values"] for s in shards]
         self.dtype = np.dtype(self.cfg.dtype)
 
-    def _pack(self, uniq_idx: np.ndarray):
+    def _lookup(self, ids: np.ndarray):
+        """Resolve row ids to packed global indices (shard << _SH | idx).
+
+        One vectorized searchsorted per shard (K is small); raises if any
+        id is absent from every shard — a silent miss would score against
+        the WRONG series."""
+        gid = np.full(ids.shape[0], -1, dtype=np.int64)
+        for k, rid in enumerate(self.sh_ids):
+            if not rid.shape[0]:
+                continue
+            pos = np.searchsorted(rid, ids)
+            np.minimum(pos, rid.shape[0] - 1, out=pos)
+            hit = (rid[pos] == ids) & (gid < 0)
+            if hit.any():
+                gid[hit] = (k << self._SH) | pos[hit]
+        if (gid < 0).any():
+            raise RuntimeError("broadcast token store is missing pair rows")
+        return gid
+
+    def _field(self, gid: np.ndarray, per_shard: list) -> np.ndarray:
+        """Gather a per-row int64 field (lens/starts) by packed index."""
+        out = np.zeros(gid.shape[0], dtype=np.int64)
+        sh = gid >> self._SH
+        ix = gid & ((1 << self._SH) - 1)
+        for k, arr in enumerate(per_shard):
+            m = sh == k
+            if m.any():
+                out[m] = arr[ix[m]]
+        return out
+
+    def _pack(self, uniq_gid: np.ndarray):
         """Pad the unique store rows into (S, M) pools (vectorized).
 
         The pools live in persistent per-process scratch (zeroed per call
         with fill, not fresh calloc mmaps) and are consumed synchronously
         by the kernel within the same ``__call__`` chunk."""
-        starts = self.starts[uniq_idx]
-        lens = self.lens[uniq_idx]
-        S = uniq_idx.shape[0]
+        lens = self._field(uniq_gid, self.sh_lens)
+        S = uniq_gid.shape[0]
         M = int(lens.max()) if S else 0
         X = _pack_scratch("X", S * M)[:S * M].reshape(S, M)
         X.fill(0.0)
         TX = _pack_scratch("TX", S * M)[:S * M].reshape(S, M)
         TX.fill(0.0)
-        nz = lens > 0
-        if nz.any():
-            gather = _ranges(starts[nz], lens[nz])
-            rows = np.repeat(np.arange(S)[nz], lens[nz])
+        sh = uniq_gid >> self._SH
+        ix = uniq_gid & ((1 << self._SH) - 1)
+        rows_all = np.arange(S)
+        for k in range(len(self.sh_ids)):
+            nz = (sh == k) & (lens > 0)
+            if not nz.any():
+                continue
+            gather = _ranges(self.sh_starts[k][ix[nz]], lens[nz])
+            rows = np.repeat(rows_all[nz], lens[nz])
             pos = _ranges(np.zeros(int(nz.sum()), dtype=np.int64), lens[nz])
-            X[rows, pos] = self.values[gather].astype(np.float64)
+            X[rows, pos] = self.sh_values[k][gather].astype(np.float64)
             TX[rows, pos] = pos
         return X[:, :, None], TX, lens
 
@@ -191,20 +272,10 @@ class TwedScorerBroadcast:
         exact = batch.column("exact").to_numpy()
 
         twed_out = np.zeros(n, dtype=np.float64)
-        la = np.searchsorted(self.row_ids, id_a)
-        lb = np.searchsorted(self.row_ids, id_b)
-        # hard guard against a store that is missing rows (e.g. a lost tee
-        # block): a silent searchsorted miss would score against the WRONG
-        # series — fail loudly instead
-        if self.row_ids.shape[0]:
-            la = np.minimum(la, self.row_ids.shape[0] - 1)
-            lb = np.minimum(lb, self.row_ids.shape[0] - 1)
-        if (self.row_ids.shape[0] == 0
-                or (self.row_ids[la] != id_a).any()
-                or (self.row_ids[lb] != id_b).any()):
-            raise RuntimeError("broadcast token store is missing pair rows")
-        len_a = self.lens[la]
-        len_b = self.lens[lb]
+        la = self._lookup(id_a)
+        lb = self._lookup(id_b)
+        len_a = self._field(la, self.sh_lens)
+        len_b = self._field(lb, self.sh_lens)
 
         need = np.flatnonzero(~exact)
         if need.size:

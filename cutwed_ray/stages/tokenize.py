@@ -207,6 +207,10 @@ class TokenizeStage:
         self.id_cols = id_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from cutwed_ray._taskstats import record
+        return record("tokenize", self._tokenize, batch)
+
+    def _tokenize(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         content = batch.column("content")
 

@@ -155,3 +155,44 @@ def test_stratified_central_pairgen_union_identical(two_sides):
     for col in ("id_a", "id_b", "exact", "block_key"):
         assert (single[col].values == strat[col].values).all(), col
     assert drop1 == drop3
+
+
+def test_sharded_store_scoring_bit_equal(ray_session, two_sides):
+    """A K-sharded token store must score bit-identically to the
+    single-shard store (the shard layout only changes WHERE rows live,
+    never the padded pools the kernel sees), and the per-worker slot
+    cache must survive cloudpickle (module state, not closure globals)."""
+    import ray
+
+    from cutwed_ray.stages.scorer_broadcast import (
+        TwedScorerBroadcast, _assemble_store, build_token_store_async)
+    from cutwed_ray.stages.tokenize import TokenizeStage
+
+    a, b, truth = two_sides
+    cfg = default_config(threshold=0.25)
+    tok = TokenizeStage(cfg)(a)
+    # single store vs 4 shards assembled from interleaved block slices
+    blocks = [tok.slice(i * 150, 150) for i in range(4)]
+    single = TwedScorerBroadcast(ray.put(_assemble_store(blocks)), cfg)
+    sharded = TwedScorerBroadcast(
+        [ray.put(_assemble_store([t])) for t in blocks], cfg)
+    ids = tok.column("row_id").to_numpy()
+    rng = np.random.RandomState(7)
+    n = 300
+    pairs = pa.table({
+        "id_a": pa.array(ids[rng.randint(0, len(ids), n)], pa.int64()),
+        "id_b": pa.array(ids[rng.randint(0, len(ids), n)], pa.int64()),
+        "exact": pa.array([False] * n, pa.bool_()),
+    })
+    s1 = single(pairs).column("twed").to_numpy()
+    s2 = sharded(pairs).column("twed").to_numpy()
+    assert (s1 == s2).all()
+
+    # async builder path (shards capped at the block count)
+    import ray.data as rd
+    ds = rd.from_arrow(blocks)
+    refs = build_token_store_async(ds, n_shards=3)
+    assert isinstance(refs, list) and len(refs) == 3
+    via_async = TwedScorerBroadcast(refs, cfg)
+    s3 = via_async(pairs).column("twed").to_numpy()
+    assert (s1 == s3).all()
