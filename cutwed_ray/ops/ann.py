@@ -100,10 +100,16 @@ def make_bruteforce_fn(queries_ref, k: int, id_col: str, emb_col: str):
     key = (queries_ref.hex(), k, id_col, emb_col)
 
     def score(t: pa.Table) -> pa.Table:
-        if _BF_SLOT[0] != key:
-            _BF_SLOT[0] = key
-            _BF_SLOT[1] = BruteForceScorer(queries_ref, k, id_col, emb_col)
-        return _BF_SLOT[1](t)
+        # the slot must be reached through the module: cloudpickle captures
+        # a closure's referenced globals BY VALUE, so naming _BF_SLOT here
+        # directly would give every unpickled task its own fresh copy
+        from cutwed_ray.ops import ann as _ann
+
+        slot = _ann._BF_SLOT
+        if slot[0] != key:
+            slot[0] = key
+            slot[1] = BruteForceScorer(queries_ref, k, id_col, emb_col)
+        return slot[1](t)
 
     return score
 

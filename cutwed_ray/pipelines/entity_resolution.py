@@ -6,7 +6,9 @@ reference's batch entry point, SURVEY.md §3.2):
     read_parquet(repo_files)
       -> map_batches(TokenizeStage).materialize()   content -> token series
          (ONE materialization, reused for scoring AND the final labeling)
-      -> [broadcast] token store assembled in a remote task (plasma)
+      -> [broadcast] token store assembled as K parallel shard tasks
+         (plasma; a single concat task was a data-proportional serial
+          gate on scoring start — scorers searchsorted per shard)
       -> central_pair_chunks remote task       band table -> candidate pairs
          (shuffle-FREE: broadcast mode is under a plasma byte budget by
           definition, so the band table fits one task; pairs come back as
