@@ -88,12 +88,18 @@ def run_bench() -> dict:
     n_files = int(os.environ.get("GRAFT_BENCH_N", CORPUS_ROWS[sf]))
     cpath = corpus_path(n_files)
 
+    # GRAFT_BENCH_ER_ONLY=1 (scaling legs): only the headline ER pipeline —
+    # skipping ~30 s of operator queries keeps BOTH legs of a scaling pair
+    # inside one host-throughput phase (the phase-paired protocol's point)
+    er_only = os.environ.get("GRAFT_BENCH_ER_ONLY") == "1"
+
     # warm-up: page cache for inputs AND worker-process imports + the
     # compiled kernel (first pipeline execution otherwise pays ~1-2 s of
     # module imports in every Ray worker)
     rd.read_parquet(f"{cpath}/files").count()
-    for t in ("documents", "lineitem", "events", "embeddings"):
-        rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
+    if not er_only:
+        for t in ("documents", "lineitem", "events", "embeddings"):
+            rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
     score_pairs(rd.read_parquet(f"{cpath}/files").limit(1000),
                 default_config(), n_buckets=8).count()
 
@@ -140,21 +146,23 @@ def run_bench() -> dict:
         "rows_labeled": n_clusters_rows,
     }
 
-    # --- flagship over the testdata documents table ---
-    t0 = time.time()
-    Q.q_er_clusters_documents(SF_DIR).to_pandas()
-    results["er_documents"] = round(time.time() - t0, 3)
-
-    # --- representative operator queries ---
-    for name in ["minhash_near_dup", "simhash_near_dup", "ngram_jaccard",
-                 "token_counts", "text_quality", "lineitem_pricing",
-                 "order_priority_revenue", "events_hourly", "events_hopping",
-                 "knn_bruteforce", "knn_ivf", "exact_dedup"]:
+    if not er_only:
+        # --- flagship over the testdata documents table ---
         t0 = time.time()
-        out = Q.QUERIES[name](SF_DIR)
-        # consume without materializing to the driver more than needed
-        out.count() if hasattr(out, "count") else len(out)
-        results[name] = round(time.time() - t0, 3)
+        Q.q_er_clusters_documents(SF_DIR).to_pandas()
+        results["er_documents"] = round(time.time() - t0, 3)
+
+        # --- representative operator queries ---
+        for name in ["minhash_near_dup", "simhash_near_dup", "ngram_jaccard",
+                     "token_counts", "text_quality", "lineitem_pricing",
+                     "order_priority_revenue", "events_hourly",
+                     "events_hopping", "knn_bruteforce", "knn_ivf",
+                     "exact_dedup"]:
+            t0 = time.time()
+            out = Q.QUERIES[name](SF_DIR)
+            # consume without materializing to the driver more than needed
+            out.count() if hasattr(out, "count") else len(out)
+            results[name] = round(time.time() - t0, 3)
 
     ray.shutdown()
 
@@ -223,6 +231,7 @@ def run_scaling() -> dict:
     """
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_ER_ONLY="1",
                    GRAFT_BENCH_PASSES=os.environ.get("GRAFT_BENCH_PASSES", "2"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True)
