@@ -83,6 +83,13 @@ class PipelineConfig:
     # --- clustering ---
     threshold: float = 0.35               # on length-normalized TWED: twed / (n_a + n_b)
     max_driver_edges: int = 5_000_000     # above this, use distributed label propagation
+    # keep the raw `content` column through labeling so it appears on the
+    # clusters output.  Off by default: content is ~95% of the input bytes
+    # on the bench corpus, so carrying it duplicates the corpus through
+    # plasma (broadcast materialize) and the clusters parquet just to
+    # append a cluster_id — the light cluster table joins back to the
+    # source by row_id / sha256 / path instead.
+    cluster_content: bool = False
 
     # --- checkpointing ---
     checkpoint_dir: str | None = None

@@ -478,7 +478,8 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
                 import ray.data as rd
 
                 pairs_lazy, collector = _score_pairs_broadcast_tee(
-                    ds_files, cfg, n_buckets)
+                    ds_files, cfg, n_buckets,
+                    tee_drop=() if cfg.cluster_content else ("content",))
                 pairs = pairs_lazy.materialize()
                 refs = ray.get(collector.refs.remote())
                 tok = rd.from_arrow_refs(refs) if refs else None
@@ -490,7 +491,15 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
                 # falls back to carry if the materialized size exceeds the
                 # budget (covers the est-unknowable case too)
                 t_tok = time.time()
-                tok = tokenize(ds_files, cfg).materialize()
+                tok = tokenize(ds_files, cfg)
+                if not cfg.cluster_content:
+                    # content is ~95% of input bytes and only needed on the
+                    # clusters output when opted in; the drop fuses into the
+                    # tokenize task so content never lands in plasma — at
+                    # 16-way this halves the materialize's first-touch
+                    # fault volume (the dominant residual scaling tax)
+                    tok = tok.drop_columns(["content"])
+                tok = tok.materialize()
                 metrics["tokenize_sec"] = round(time.time() - t_tok, 3)
                 pairs = _score_pairs_broadcast_from_tok(
                     tok, cfg, n_buckets, conc).materialize()
@@ -585,6 +594,8 @@ def run_er(ds_files, cfg: PipelineConfig | None = None, n_buckets: int = 64,
         from cutwed_ray.stages.tokenize import AddIdsStage
 
         with_ids = ds_files.map_batches(AddIdsStage(), batch_format="pyarrow")
+        if not cfg.cluster_content:
+            with_ids = with_ids.drop_columns(["content"])
 
     if overflow:
         # scale path: distributed label propagation over the edge Dataset,
@@ -697,7 +708,12 @@ def _score_with_checkpoint(ds_files, cfg, n_buckets, n_shards, metrics,
 
     tok_dir = os.path.join(ckpt, "tokenized")
     if not manifest.get("tokenized_done"):
-        tokenize(ds_files, cfg).write_parquet(tok_dir)
+        tok_w = tokenize(ds_files, cfg)
+        if not cfg.cluster_content:
+            # same contract as the in-memory path: the checkpoint (and the
+            # clusters labeled from it) carries content only when opted in
+            tok_w = tok_w.drop_columns(["content"])
+        tok_w.write_parquet(tok_dir)
         manifest["tokenized_done"] = True
         _write_manifest(man_path, manifest)
 

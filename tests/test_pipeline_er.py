@@ -53,11 +53,35 @@ class TestERPipeline:
         assert f1["f1"] >= 0.99, f1
 
     def test_sha256_invariant(self, er_result):
-        """Output rows carry sha256(content) equal to a fresh recomputation."""
+        """Output rows carry sha256(content) equal to a fresh recomputation.
+
+        Default clusters are LIGHT (no content column — content is ~95% of
+        input bytes; carrying it through labeling duplicates the corpus at
+        scale), so join content back from the source table by path."""
         res, files, truth, cfg = er_result
-        out = res.clusters.select_columns(["content", "sha256"]).take(50)
+        assert "content" not in res.clusters.schema().names
+        by_path = dict(zip(files.column("path").to_pylist(),
+                           files.column("content").to_pylist()))
+        out = res.clusters.select_columns(["path", "sha256"]).take(50)
         for row in out:
-            assert hashlib.sha256(row["content"].encode()).hexdigest() == row["sha256"]
+            digest = hashlib.sha256(by_path[row["path"]].encode()).hexdigest()
+            assert digest == row["sha256"]
+
+    def test_cluster_content_opt_in(self, ray_session):
+        """cfg.cluster_content=True keeps the raw content column on the
+        clusters output (both strategies), with the sha256 invariant held."""
+        import ray.data as rd
+
+        files, _ = generate_corpus(200, seed=13)
+        for strategy in ("broadcast", "carry"):
+            cfg = default_config(threshold=0.25, cluster_content=True)
+            res = run_er(rd.from_arrow(files), cfg, n_buckets=8,
+                         strategy=strategy)
+            assert "content" in res.clusters.schema().names, strategy
+            out = res.clusters.select_columns(["content", "sha256"]).take(20)
+            for row in out:
+                assert (hashlib.sha256(row["content"].encode()).hexdigest()
+                        == row["sha256"]), strategy
 
     def test_all_rows_labeled(self, er_result):
         res, files, truth, cfg = er_result

@@ -39,7 +39,8 @@ class TestTeeBroadcast:
         import ray.data as rd
 
         files, _ = corpus
-        cfg = default_config(threshold=0.25, broadcast_tee=True)
+        cfg = default_config(threshold=0.25, broadcast_tee=True,
+                             cluster_content=True)
         r_b = run_er(rd.from_arrow(files), cfg, n_buckets=8, strategy="broadcast")
         assert r_b.metrics["strategy"] == "broadcast"
         assert r_b.keepalive is not None, "tee collector must be kept alive"
