@@ -773,6 +773,48 @@ FROM sess GROUP BY user_id, sess_id
 """
 
 
+def q_events_asof_order(sf_dir: str):
+    """As-of join: for each event, the customer's most recent order at or
+    before the event time (ops/joins.asof_join — the point-in-time
+    primitive a plain equi-join can't express).  Ties on order date break
+    to the highest order key; inner semantics (every sf0.01 event has a
+    prior order, verified).  Prices in exact integer cents."""
+    from cutwed_ray.ops.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        pcents = np.floor(t.column("o_totalprice").to_numpy() * 100 + 0.5
+                          ).astype(np.int64)
+        return (t.drop_columns(["o_totalprice"])
+                 .append_column("price_cents", pa.array(pcents, pa.int64())))
+
+    return asof_join(
+        ev, orders.map_batches(cents, batch_format="pyarrow"),
+        left_key="user_id", left_time="ts",
+        right_key="o_custkey", right_time="o_orderdate",
+        left_cols=["event_id", "user_id"],
+        right_cols=["o_orderkey", "price_cents"],
+        right_tie="o_orderkey")
+
+
+SQL_EVENTS_ASOF_ORDER = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+           AS rn
+  FROM events e
+  JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, o_orderkey, price_cents FROM j WHERE rn = 1
+"""
+
+
 # ----------------------------------------------------------------------- ANN
 KNN_QUERY_IDS = list(range(8))
 KNN_K = 5
@@ -1062,6 +1104,7 @@ QUERIES = {
     "events_hopping": q_events_hopping,
     "events_type_stats": q_events_type_stats,
     "events_sessions": q_events_sessions,
+    "events_asof_order": q_events_asof_order,
     "knn_bruteforce": q_knn_bruteforce,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -1132,6 +1175,7 @@ ORACLE = {
     "events_hopping": SQL_EVENTS_HOPPING,
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_asof_order": SQL_EVENTS_ASOF_ORDER,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_near_dup_exact": SQL_EMBEDDING_NEAR_DUP_EXACT,

@@ -319,3 +319,64 @@ class TestFingerprint:
         fp = out.column("fingerprint").to_pylist()
         assert fp[0] == fp[2]                          # deterministic
         assert fp[0] != fp[1]                          # edit changes digest
+
+
+class TestAsofJoin:
+    def test_semantics_vs_bruteforce(self, ray_session):
+        """asof_join == per-left-row argmax(right.t <= left.t) with
+        (t, tie) DESC tie-break; lefts with no prior right are dropped."""
+        import pandas as pd
+        import ray.data as rd
+
+        from cutwed_ray.ops.joins import asof_join
+
+        rng = np.random.RandomState(5)
+        n_l, n_r, n_keys = 400, 300, 17
+        left = pa.table({
+            "lid": pa.array(np.arange(n_l), pa.int64()),
+            "key": pa.array(rng.randint(0, n_keys, n_l), pa.int64()),
+            "t": pa.array(rng.randint(0, 50, n_l), pa.int64()),
+        })
+        right = pa.table({
+            "rid": pa.array(np.arange(n_r), pa.int64()),
+            "rkey": pa.array(rng.randint(0, n_keys + 3, n_r), pa.int64()),
+            "rt": pa.array(rng.randint(0, 50, n_r), pa.int64()),  # dup times
+            "val": pa.array(rng.randint(0, 1000, n_r), pa.int64()),
+        })
+        got = asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_key="key", left_time="t", right_key="rkey", right_time="rt",
+            left_cols=["lid", "key", "t"], right_cols=["rid", "val"],
+            right_tie="rid", n_buckets=5,
+        ).to_pandas().sort_values("lid").reset_index(drop=True)
+
+        ldf, rdf = left.to_pandas(), right.to_pandas()
+        rows = []
+        for _, lr in ldf.iterrows():
+            cand = rdf[(rdf.rkey == lr.key) & (rdf.rt <= lr.t)]
+            if len(cand):
+                w = cand.sort_values(["rt", "rid"], ascending=False).iloc[0]
+                rows.append((lr.lid, lr.key, lr.t, w.rid, w.val))
+        want = pd.DataFrame(rows, columns=["lid", "key", "t", "rid", "val"])
+        assert len(got) == len(want)
+        for c in want.columns:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_equal_time_counts_as_before(self, ray_session):
+        import ray.data as rd
+
+        from cutwed_ray.ops.joins import asof_join
+
+        left = pa.table({"lid": pa.array([1], pa.int64()),
+                         "key": pa.array([7], pa.int64()),
+                         "t": pa.array([10], pa.int64())})
+        right = pa.table({"rid": pa.array([4, 5], pa.int64()),
+                          "rkey": pa.array([7, 7], pa.int64()),
+                          "rt": pa.array([10, 10], pa.int64())})
+        out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                        left_key="key", left_time="t",
+                        right_key="rkey", right_time="rt",
+                        left_cols=["lid"], right_cols=["rid"],
+                        n_buckets=2).to_pandas()
+        # rt == t matches (<= semantics); max rid wins the tie
+        assert list(out.lid) == [1] and list(out.rid) == [5]
