@@ -139,3 +139,120 @@ def asof_join(left, right, *, left_key: str, left_time: str,
     light = (left.map_batches(prep_left, batch_format="pyarrow")
              .union(right.map_batches(prep_right, batch_format="pyarrow")))
     return light.groupby("jbkt").map_groups(merge, batch_format="pyarrow")
+
+
+def range_agg_join(left, right, *, left_key: str, left_time: str,
+                   right_key: str, right_time: str, left_cols: list[str],
+                   window_lo: int, window_hi: int, value_col: str | None = None,
+                   n_buckets: int | None = None):
+    """Windowed range-aggregate join: per left row, COUNT (and optionally
+    SUM ``value_col``) of right rows with the same key whose time falls in
+    ``[t + window_lo, t + window_hi)`` (offsets in the time column's int64
+    units, micros for timestamps).  LEFT semantics: every left row is
+    emitted, count 0 when nothing matches.  Equivalent SQL: ``LEFT JOIN ..
+    ON key = key AND t_r >= t + lo AND t_r < t + hi GROUP BY left row``.
+
+    Same scale shape as :func:`asof_join` (light rows, coarse key-bucket
+    shuffle, one vectorized pass per group).  The merge exploits that the
+    window offsets are FIXED: each left row emits a lo and a hi boundary
+    row, boundaries sort before right rows at equal (key, time) — making
+    ``[lo, hi)`` semantics exact — and the exclusive prefix count/sum of
+    right rows at the hi boundary minus the lo boundary is the window
+    aggregate.  Because hi = lo + const, the (key, time)-sorted order of
+    lo boundaries equals that of hi boundaries, so the two difference
+    arrays align with no id matching.  ``value_col`` must be integer
+    (convert currency/doubles to exact integer units first, the repo-wide
+    oracle rule).  Self-joins pass the same Dataset twice (each side is
+    its own scan; materialize upstream if the input is expensive).
+    """
+    from cutwed_ray.stages.cluster import coarse_buckets
+
+    nb = n_buckets or coarse_buckets()
+    lcols = list(left_cols)
+    assert window_hi > window_lo
+
+    l_schema = left.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+
+    def _bucket(keys: np.ndarray) -> pa.Array:
+        b = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             ) % np.uint64(nb)
+        return pa.array(b.astype(np.int32), pa.int32())
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        n = len(t)
+        k = _as_int64(t.column(left_key))
+        tt = _as_int64(t.column(left_time))
+        k2 = np.concatenate([k, k])
+        cols = {
+            "jbkt": _bucket(k2),
+            "k": pa.array(k2, pa.int64()),
+            "t": pa.array(np.concatenate([tt + window_lo, tt + window_hi]),
+                          pa.int64()),
+            "is_ev": pa.array(np.zeros(2 * n, np.int8), pa.int8()),
+            "bkind": pa.array(np.repeat(np.array([0, 1], np.int8), n), pa.int8()),
+            "val": pa.array(np.zeros(2 * n, np.int64), pa.int64()),
+        }
+        for c in lcols:
+            col = t.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # payload rides the lo row; the hi row's copy is never read
+            cols[f"L_{c}"] = pa.concat_arrays([col, col])
+        return pa.table(cols)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        k = _as_int64(t.column(right_key))
+        val = (_as_int64(t.column(value_col)) if value_col
+               else np.zeros(n, np.int64))
+        cols = {
+            "jbkt": _bucket(k),
+            "k": pa.array(k, pa.int64()),
+            "t": pa.array(_as_int64(t.column(right_time)), pa.int64()),
+            "is_ev": pa.array(np.ones(n, np.int8), pa.int8()),
+            "bkind": pa.array(np.full(n, -1, np.int8), pa.int8()),
+            "val": pa.array(val, pa.int64()),
+        }
+        for c in lcols:
+            cols[f"L_{c}"] = pa.nulls(n, l_types[c])
+        return pa.table(cols)
+
+    def merge(t: pa.Table) -> pa.Table:
+        out_names = [f"L_{c}" for c in lcols]
+        out_cols = lcols + ["n_matched"] + (["matched_sum"] if value_col else [])
+        n = len(t)
+        if n == 0:
+            empty = {c: t.column(f"L_{c}") for c in lcols}
+            empty["n_matched"] = pa.array([], pa.int64())
+            if value_col:
+                empty["matched_sum"] = pa.array([], pa.int64())
+            return pa.table(empty)
+        k = t.column("k").to_numpy()
+        tt = t.column("t").to_numpy()
+        isev = t.column("is_ev").to_numpy()
+        bkind = t.column("bkind").to_numpy()
+        val = t.column("val").to_numpy()
+        # boundaries (is_ev 0) before right rows (1) at equal (k, t):
+        # ">= t+lo" includes and "< t+hi" excludes equal-time right rows
+        order = np.lexsort((isev, tt, k))
+        isev_s = isev[order]
+        cnt_excl = np.cumsum(isev_s, dtype=np.int64) - isev_s
+        val_s = val[order]
+        sum_excl = np.cumsum(val_s, dtype=np.int64) - val_s
+        bk_s = bkind[order]
+        lo = bk_s == 0
+        hi = bk_s == 1
+        cnt = cnt_excl[hi] - cnt_excl[lo]
+        li = order[lo]                       # lo rows carry the payload
+        out = {}
+        for c in lcols:
+            out[c] = t.column(f"L_{c}").take(pa.array(li, pa.int64()))
+        out["n_matched"] = pa.array(cnt, pa.int64())
+        if value_col:
+            out["matched_sum"] = pa.array(sum_excl[hi] - sum_excl[lo], pa.int64())
+        return pa.table(out)
+
+    light = (left.map_batches(prep_left, batch_format="pyarrow")
+             .union(right.map_batches(prep_right, batch_format="pyarrow")))
+    return light.groupby("jbkt").map_groups(merge, batch_format="pyarrow")

@@ -815,6 +815,49 @@ SELECT event_id, user_id, o_orderkey, price_cents FROM j WHERE rn = 1
 """
 
 
+def q_events_prev_hour(sf_dir: str):
+    """Trailing-window range join (ops/joins.range_agg_join): per event,
+    count + exact-micros value sum of the SAME user's events in the
+    preceding hour ``[ts - 1h, ts)`` — the streaming 'trailing window
+    feature' shape, computed as one coarse-bucketed vectorized merge (no
+    per-key loops, no row-pair blowup like the SQL LEFT JOIN oracle)."""
+    from cutwed_ray.ops.joins import range_agg_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def micros(t: pa.Table) -> pa.Table:
+        vm = np.floor(t.column("value").to_numpy() * 1_000_000 + 0.5
+                      ).astype(np.int64)
+        return (t.drop_columns(["value"])
+                 .append_column("value_micros", pa.array(vm, pa.int64())))
+
+    evm = ev.map_batches(micros, batch_format="pyarrow")
+    out = range_agg_join(
+        evm, evm, left_key="user_id", left_time="ts",
+        right_key="user_id", right_time="ts",
+        left_cols=["event_id", "user_id"],
+        window_lo=-3_600_000_000, window_hi=0, value_col="value_micros")
+
+    def semantic_names(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["event_id", "user_id", "n_prev_1h", "prev_value_micros"])
+
+    return out.map_batches(semantic_names, batch_format="pyarrow")
+
+
+SQL_EVENTS_PREV_HOUR = """
+SELECT a.event_id, a.user_id,
+       count(b.event_id) AS n_prev_1h,
+       COALESCE(SUM(CAST(FLOOR(b.value * 1000000 + 0.5) AS BIGINT)), 0)
+         AS prev_value_micros
+FROM events a
+LEFT JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+GROUP BY a.event_id, a.user_id
+"""
+
+
 # ----------------------------------------------------------------------- ANN
 KNN_QUERY_IDS = list(range(8))
 KNN_K = 5
@@ -1105,6 +1148,7 @@ QUERIES = {
     "events_type_stats": q_events_type_stats,
     "events_sessions": q_events_sessions,
     "events_asof_order": q_events_asof_order,
+    "events_prev_hour": q_events_prev_hour,
     "knn_bruteforce": q_knn_bruteforce,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -1176,6 +1220,7 @@ ORACLE = {
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof_order": SQL_EVENTS_ASOF_ORDER,
+    "events_prev_hour": SQL_EVENTS_PREV_HOUR,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_near_dup_exact": SQL_EMBEDDING_NEAR_DUP_EXACT,

@@ -380,3 +380,41 @@ class TestAsofJoin:
                         n_buckets=2).to_pandas()
         # rt == t matches (<= semantics); max rid wins the tie
         assert list(out.lid) == [1] and list(out.rid) == [5]
+
+    def test_range_agg_vs_bruteforce(self, ray_session):
+        """range_agg_join == per-left-row count/sum over the same-key right
+        rows in [t+lo, t+hi); every left row emitted (count 0 ok)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from cutwed_ray.ops.joins import range_agg_join
+
+        rng = np.random.RandomState(9)
+        n_l, n_r, n_keys = 300, 500, 11
+        left = pa.table({
+            "lid": pa.array(np.arange(n_l), pa.int64()),
+            "key": pa.array(rng.randint(0, n_keys, n_l), pa.int64()),
+            "t": pa.array(rng.randint(0, 40, n_l), pa.int64()),
+        })
+        right = pa.table({
+            "rkey": pa.array(rng.randint(0, n_keys + 2, n_r), pa.int64()),
+            "rt": pa.array(rng.randint(0, 40, n_r), pa.int64()),
+            "val": pa.array(rng.randint(-5, 100, n_r), pa.int64()),
+        })
+        lo, hi = -7, 3
+        got = range_agg_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_key="key", left_time="t", right_key="rkey", right_time="rt",
+            left_cols=["lid"], window_lo=lo, window_hi=hi, value_col="val",
+            n_buckets=4,
+        ).to_pandas().sort_values("lid").reset_index(drop=True)
+
+        ldf, rdf = left.to_pandas(), right.to_pandas()
+        want_n, want_s = [], []
+        for _, lr in ldf.iterrows():
+            m = rdf[(rdf.rkey == lr.key) & (rdf.rt >= lr.t + lo)
+                    & (rdf.rt < lr.t + hi)]
+            want_n.append(len(m)); want_s.append(int(m.val.sum()))
+        assert len(got) == n_l
+        assert (got.n_matched.to_numpy() == np.array(want_n)).all()
+        assert (got.matched_sum.to_numpy() == np.array(want_s)).all()

@@ -70,7 +70,7 @@ SQL_CHECKED = ["exact_dedup", "exact_cluster", "block_counts", "token_counts",
                "docs_quality_filter", "orders_topk_per_cust",
                "event_type_users", "supplier_region_revenue",
                "events_hourly", "events_hopping", "events_type_stats",
-               "events_sessions", "events_asof_order",
+               "events_sessions", "events_asof_order", "events_prev_hour",
                "knn_bruteforce", "ngram_jaccard", "embedding_near_dup_exact"]
 
 
