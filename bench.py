@@ -156,7 +156,8 @@ def run_bench() -> dict:
         for name in ["minhash_near_dup", "simhash_near_dup", "ngram_jaccard",
                      "token_counts", "text_quality", "lineitem_pricing",
                      "order_priority_revenue", "events_hourly",
-                     "events_hopping", "knn_bruteforce", "knn_ivf",
+                     "events_hopping", "events_asof_order",
+                     "events_prev_hour", "knn_bruteforce", "knn_ivf",
                      "exact_dedup"]:
             t0 = time.time()
             out = Q.QUERIES[name](SF_DIR)
