@@ -41,6 +41,57 @@ def _as_int64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return arr.astype(np.int64)
 
 
+def asof_merge_indices(k: np.ndarray, tt: np.ndarray, isl: np.ndarray,
+                       tie: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pure core of the as-of merge: given parallel arrays (key, time,
+    is_left 0/1, tie — tie is only read for right rows), return
+    ``(left_idx, right_idx)`` pairs of ORIGINAL row positions matching
+    each left row to its latest same-key right row with
+    ``t_r <= t_l`` (equal-time ties to the highest tie value).  Lefts
+    with no prior right are absent.  Property-tested against brute force
+    in tests/test_properties_ops.py."""
+    n = k.shape[0]
+    # sort: key, then time, then rights-before-lefts at equal time
+    # (<= semantics), then tie ascending so the LAST right row of a
+    # run is the max-tie winner
+    order = np.lexsort((tie, isl, tt, k))
+    ks, isls = k[order], isl[order]
+    pos = np.arange(n, dtype=np.int64)
+    right_at = np.where(isls == 0, pos, -1)
+    np.maximum.accumulate(right_at, out=right_at)
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    np.not_equal(ks[1:], ks[:-1], out=new_key[1:])
+    seg_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+    valid = (isls == 1) & (right_at >= seg_start)
+    return order[valid], order[right_at[valid]]
+
+
+def range_merge_aggregates(k: np.ndarray, tt: np.ndarray, isev: np.ndarray,
+                           bkind: np.ndarray, val: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pure core of the range-aggregate merge: rows are right rows
+    (``isev==1``) or per-left lo/hi boundary rows (``isev==0``, ``bkind``
+    0/1) already offset to the window edges.  Returns ``(lo_idx, count,
+    sum)`` where ``lo_idx`` are ORIGINAL positions of the lo boundary
+    rows (payload carriers) and count/sum aggregate the same-key right
+    rows in ``[t_lo, t_hi)``.  Relies on hi = lo + const so both
+    boundary sets share one (key, time) sort order.  Property-tested
+    against brute force in tests/test_properties_ops.py."""
+    # boundaries (is_ev 0) before right rows (1) at equal (k, t):
+    # ">= t+lo" includes and "< t+hi" excludes equal-time right rows
+    order = np.lexsort((isev, tt, k))
+    isev_s = isev[order]
+    cnt_excl = np.cumsum(isev_s, dtype=np.int64) - isev_s
+    val_s = val[order]
+    sum_excl = np.cumsum(val_s, dtype=np.int64) - val_s
+    bk_s = bkind[order]
+    lo = bk_s == 0
+    hi = bk_s == 1
+    return (order[lo], cnt_excl[hi] - cnt_excl[lo],
+            sum_excl[hi] - sum_excl[lo])
+
+
 def asof_join(left, right, *, left_key: str, left_time: str,
               right_key: str, right_time: str,
               left_cols: list[str], right_cols: list[str],
@@ -113,22 +164,7 @@ def asof_join(left, right, *, left_key: str, left_time: str,
             tie = np.nan_to_num(tie).astype(np.int64)
         else:
             tie = tie.astype(np.int64)
-        # sort: key, then time, then rights-before-lefts at equal time
-        # (<= semantics), then tie ascending so the LAST right row of a
-        # run is the max-tie winner
-        order = np.lexsort((tie, isl, tt, k))
-        ks, isls = k[order], isl[order]
-        pos = np.arange(n, dtype=np.int64)
-        right_at = np.where(isls == 0, pos, -1)
-        np.maximum.accumulate(right_at, out=right_at)
-        new_key = np.empty(n, dtype=bool)
-        new_key[0] = True
-        np.not_equal(ks[1:], ks[:-1], out=new_key[1:])
-        seg_start = np.maximum.accumulate(np.where(new_key, pos, 0))
-        is_l = isls == 1
-        valid = is_l & (right_at >= seg_start)
-        li = order[valid]                    # original left row indices
-        ri = order[right_at[valid]]          # matched right row indices
+        li, ri = asof_merge_indices(k, tt, isl, tie)
         out = {}
         for c in lcols:
             out[c] = t.column(f"L_{c}").take(pa.array(li, pa.int64()))
@@ -233,24 +269,13 @@ def range_agg_join(left, right, *, left_key: str, left_time: str,
         isev = t.column("is_ev").to_numpy()
         bkind = t.column("bkind").to_numpy()
         val = t.column("val").to_numpy()
-        # boundaries (is_ev 0) before right rows (1) at equal (k, t):
-        # ">= t+lo" includes and "< t+hi" excludes equal-time right rows
-        order = np.lexsort((isev, tt, k))
-        isev_s = isev[order]
-        cnt_excl = np.cumsum(isev_s, dtype=np.int64) - isev_s
-        val_s = val[order]
-        sum_excl = np.cumsum(val_s, dtype=np.int64) - val_s
-        bk_s = bkind[order]
-        lo = bk_s == 0
-        hi = bk_s == 1
-        cnt = cnt_excl[hi] - cnt_excl[lo]
-        li = order[lo]                       # lo rows carry the payload
+        li, cnt, sm = range_merge_aggregates(k, tt, isev, bkind, val)
         out = {}
         for c in lcols:
             out[c] = t.column(f"L_{c}").take(pa.array(li, pa.int64()))
         out["n_matched"] = pa.array(cnt, pa.int64())
         if value_col:
-            out["matched_sum"] = pa.array(sum_excl[hi] - sum_excl[lo], pa.int64())
+            out["matched_sum"] = pa.array(sm, pa.int64())
         return pa.table(out)
 
     light = (left.map_batches(prep_left, batch_format="pyarrow")

@@ -84,3 +84,70 @@ def test_doc_shingle_sets_match_python_reference(docs):
         else:
             want = 1                    # fallback whole-doc shingle
         assert off[i + 1] - off[i] == want, (d, vu[off[i]:off[i + 1]])
+
+
+# --------------------------------------------------- temporal join cores
+_join_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=4),      # key
+              st.integers(min_value=0, max_value=12),     # time
+              st.booleans()),                             # is_left
+    min_size=0, max_size=40)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_join_rows)
+def test_asof_merge_matches_bruteforce(rows):
+    from cutwed_ray.ops.joins import asof_merge_indices
+
+    k = np.array([r[0] for r in rows], dtype=np.int64)
+    t = np.array([r[1] for r in rows], dtype=np.int64)
+    isl = np.array([1 if r[2] else 0 for r in rows], dtype=np.int8)
+    tie = np.arange(len(rows), dtype=np.int64)        # unique per row
+    if len(rows) == 0:
+        return
+    li, ri = asof_merge_indices(k, t, isl, tie)
+    got = dict(zip(li.tolist(), ri.tolist()))
+    for i in range(len(rows)):
+        if isl[i] != 1:
+            continue
+        cand = [j for j in range(len(rows))
+                if isl[j] == 0 and k[j] == k[i] and t[j] <= t[i]]
+        if not cand:
+            assert i not in got
+        else:
+            best = max(cand, key=lambda j: (t[j], tie[j]))
+            assert got[i] == best, (i, got.get(i), best)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=4),
+                          st.integers(min_value=0, max_value=12)),
+                min_size=0, max_size=25),
+       st.lists(st.tuples(st.integers(min_value=0, max_value=4),
+                          st.integers(min_value=0, max_value=12),
+                          st.integers(min_value=-5, max_value=9)),
+                min_size=0, max_size=30),
+       st.integers(min_value=-4, max_value=2))
+def test_range_merge_matches_bruteforce(lefts, rights, lo_off):
+    from cutwed_ray.ops.joins import range_merge_aggregates
+
+    hi_off = lo_off + 3
+    nl, nr = len(lefts), len(rights)
+    # rows: per left a lo and a hi boundary, then the right rows
+    k = np.array([l[0] for l in lefts] * 2 + [r[0] for r in rights],
+                 dtype=np.int64)
+    t = np.array([l[1] + lo_off for l in lefts]
+                 + [l[1] + hi_off for l in lefts]
+                 + [r[1] for r in rights], dtype=np.int64)
+    isev = np.array([0] * (2 * nl) + [1] * nr, dtype=np.int8)
+    bkind = np.array([0] * nl + [1] * nl + [-1] * nr, dtype=np.int8)
+    val = np.array([0] * (2 * nl) + [r[2] for r in rights], dtype=np.int64)
+    li, cnt, sm = range_merge_aggregates(k, t, isev, bkind, val)
+    assert len(li) == nl and len(cnt) == nl and len(sm) == nl
+    # lo rows occupy positions 0..nl-1; map back to the left row
+    for pos, c, s in zip(li.tolist(), cnt.tolist(), sm.tolist()):
+        lk, lt = lefts[pos]
+        m = [r for r in rights
+             if r[0] == lk and lt + lo_off <= r[1] < lt + hi_off]
+        assert c == len(m), (pos, c, m)
+        assert s == sum(r[2] for r in m)
