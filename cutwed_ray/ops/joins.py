@@ -127,7 +127,10 @@ def asof_join(left, right, *, left_key: str, left_time: str,
             "jbkt": _bucket(k),
             "k": pa.array(k, pa.int64()),
             "t": pa.array(_as_int64(t.column(left_time)), pa.int64()),
-            "tie": pa.nulls(len(t), pa.int64()),
+            # tie is only consulted among rows with equal (k, t, is_left),
+            # i.e. within one side — a constant 0 for left rows is inert
+            # (and avoids a null->NaN->int round-trip in the merge)
+            "tie": pa.array(np.zeros(len(t), np.int64), pa.int64()),
             "is_left": pa.array(np.ones(len(t), np.int8), pa.int8()),
         }
         for c in lcols:
