@@ -32,7 +32,17 @@ import pyarrow as pa
 
 
 def _as_int64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Key/time column -> int64 numpy (timestamps become epoch micros)."""
+    """Key/time column -> int64 numpy (timestamps become epoch micros).
+
+    Nulls are REJECTED, not coerced: ``to_numpy(zero_copy_only=False)`` on
+    an int column with nulls yields float NaN, and ``astype(int64)`` on NaN
+    is undefined garbage — a silent wrong-join, the worst failure mode for
+    a public engine primitive.  Callers must drop / route null-key rows
+    explicitly before the join."""
+    if col.null_count:
+        raise ValueError(
+            f"asof/range join key/time/value column has {col.null_count} "
+            "nulls; drop or route null rows explicitly before joining")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     arr = col.to_numpy(zero_copy_only=False)
@@ -103,6 +113,8 @@ def asof_join(left, right, *, left_key: str, left_time: str,
     the column that breaks equal-time ties (defaults to ``right_cols[0]``,
     which must then be numeric); the winner is the HIGHEST tie value,
     matching ``ROW_NUMBER() OVER (... ORDER BY t DESC, tie DESC) = 1``.
+    Key / time / tie columns must be null-free (``_as_int64`` raises
+    otherwise — nulls cannot be ordered in an as-of merge).
     """
     from cutwed_ray.stages.cluster import coarse_buckets
 
@@ -201,8 +213,11 @@ def range_agg_join(left, right, *, left_key: str, left_time: str,
     lo boundaries equals that of hi boundaries, so the two difference
     arrays align with no id matching.  ``value_col`` must be integer
     (convert currency/doubles to exact integer units first, the repo-wide
-    oracle rule).  Self-joins pass the same Dataset twice (each side is
-    its own scan; materialize upstream if the input is expensive).
+    oracle rule).  Key / time / value columns must be null-free
+    (``_as_int64`` raises otherwise).  Self-joins (``left is right``) are
+    detected and prepped in ONE pass — each input batch emits its lo
+    boundary, hi boundary AND right rows together (3 rows out per row in),
+    so the input is scanned once, not once per side.
     """
     from cutwed_ray.stages.cluster import coarse_buckets
 
@@ -281,6 +296,15 @@ def range_agg_join(left, right, *, left_key: str, left_time: str,
             out["matched_sum"] = pa.array(sm, pa.int64())
         return pa.table(out)
 
-    light = (left.map_batches(prep_left, batch_format="pyarrow")
-             .union(right.map_batches(prep_right, batch_format="pyarrow")))
+    if left is right:
+        # self-join: ONE scan emits both sides' light rows per batch
+        # (row order within the union differs from the two-scan path, but
+        # the merge lexsorts per bucket, so the output is identical)
+        def prep_self(t: pa.Table) -> pa.Table:
+            return pa.concat_tables([prep_left(t), prep_right(t)])
+
+        light = left.map_batches(prep_self, batch_format="pyarrow")
+    else:
+        light = (left.map_batches(prep_left, batch_format="pyarrow")
+                 .union(right.map_batches(prep_right, batch_format="pyarrow")))
     return light.groupby("jbkt").map_groups(merge, batch_format="pyarrow")

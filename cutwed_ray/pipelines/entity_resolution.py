@@ -699,14 +699,31 @@ def _score_with_checkpoint(ds_files, cfg, n_buckets, n_shards, metrics,
     ckpt = cfg.checkpoint_dir
     os.makedirs(ckpt, exist_ok=True)
     man_path = os.path.join(ckpt, "manifest.json")
-    manifest = {"config_hash": metrics["config_hash"], "shards": {}}
+    tok_dir = os.path.join(ckpt, "tokenized")
+    # the manifest records the checkpoint FORMAT alongside the config hash:
+    # cluster_content decides whether the tokenized parquet carries the
+    # content column, so resuming across a flag flip must never silently
+    # mix schemas (ADVICE r3) — the config hash covers the flag, and any
+    # mismatch resets the stale artifacts instead of appending new parquet
+    # files next to old ones (write_parquet into a non-empty dir appends)
+    manifest = {"config_hash": metrics["config_hash"],
+                "format_version": 2,
+                "cluster_content": bool(cfg.cluster_content),
+                "shards": {}}
     if os.path.exists(man_path):
         with open(man_path) as f:
             old = json.load(f)
-        if old.get("config_hash") == manifest["config_hash"]:
+        if (old.get("config_hash") == manifest["config_hash"]
+                and old.get("format_version") == manifest["format_version"]
+                and old.get("cluster_content") == manifest["cluster_content"]):
             manifest = old
+        else:
+            # stale or older-format checkpoint: reset its artifacts so the
+            # rerun starts clean rather than appending to mixed-era files
+            import shutil
 
-    tok_dir = os.path.join(ckpt, "tokenized")
+            shutil.rmtree(tok_dir, ignore_errors=True)
+            shutil.rmtree(os.path.join(ckpt, "pairs"), ignore_errors=True)
     if not manifest.get("tokenized_done"):
         tok_w = tokenize(ds_files, cfg)
         if not cfg.cluster_content:

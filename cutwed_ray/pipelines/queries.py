@@ -848,8 +848,8 @@ def q_events_prev_hour(sf_dir: str):
 SQL_EVENTS_PREV_HOUR = """
 SELECT a.event_id, a.user_id,
        count(b.event_id) AS n_prev_1h,
-       COALESCE(SUM(CAST(FLOOR(b.value * 1000000 + 0.5) AS BIGINT)), 0)
-         AS prev_value_micros
+       CAST(COALESCE(SUM(CAST(FLOOR(b.value * 1000000 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS prev_value_micros
 FROM events a
 LEFT JOIN events b
   ON b.user_id = a.user_id
@@ -1115,7 +1115,15 @@ def q_link_documents(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: synthetic binary media table -> actor-pool
-    decode-stub -> feature vectors (sf_dir sets the table size)."""
+    decode-stub -> feature vectors (sf_dir sets the table size).
+
+    The STUB decode path is pinned EXPLICITLY (``real_decode=False``, the
+    second constructor arg): the frozen fixture oracle covers the stub
+    only, so a container that later gains PIL must not silently flip this
+    query onto the real-decode path ('auto' would).  Features are emitted
+    as ``f00..f15`` scalar columns — the driver's canonical sort/hash
+    cannot order list cells — via a zero-copy flatten of the fixed-size
+    list."""
     import ray.data as rd
 
     from cutwed_ray.ops.multimodal import BINARY_BATCH_KWARGS, DecodeImageStage, synth_media_table
@@ -1124,7 +1132,19 @@ def q_media_features(sf_dir: str):
     ds = rd.from_arrow(synth_media_table(n, seed=42))
     out = ds.map_batches(DecodeImageStage, fn_constructor_args=(16, False),
                          concurrency=(1, 2), **BINARY_BATCH_KWARGS)
-    return out.select_columns(["media_id", "features", "decode_ok"])
+
+    def flat(t: pa.Table) -> pa.Table:
+        f = t.column("features")
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        m = f.flatten().to_numpy(zero_copy_only=False).reshape(len(t), -1)
+        cols = {"media_id": t.column("media_id")}
+        for j in range(m.shape[1]):
+            cols[f"f{j:02d}"] = pa.array(m[:, j], pa.float64())
+        cols["decode_ok"] = t.column("decode_ok")
+        return pa.table(cols)
+
+    return out.map_batches(flat, batch_format="pyarrow")
 
 
 QUERIES = {
@@ -1188,6 +1208,7 @@ FIXTURE_ORACLES: dict[str, list[str]] = {
     "twed_topk_neighbors": ["row_id", "rank"],
     "er_clusters_documents": ["path"],
     "link_documents": ["id_a", "id_b"],
+    "media_features": ["media_id"],
 }
 _FIXTURE_DIR = "/root/repo/fixtures"
 

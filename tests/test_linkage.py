@@ -127,6 +127,37 @@ def test_central_pairgen_matches_shuffle_broadcast(ray_session, two_sides):
     assert k1.n_dropped_bucket.sum() == k2.n_dropped_bucket.sum()
 
 
+def test_checkpoint_resume_matches_central_pairgen(ray_session, two_sides,
+                                                   tmp_path):
+    """The checkpointed scoring path still runs the bucketed shuffle per
+    shard, while the default in-memory broadcast path now uses shuffle-free
+    central pairgen — the two must produce the identical pair set, scores
+    and exact flags (VERDICT r3 item 7)."""
+    import ray.data as rd
+
+    from cutwed_ray.pipelines import entity_resolution as er
+
+    a, b, truth = two_sides
+    files = rd.from_arrow(a)
+    p1 = er.score_pairs(files, default_config(threshold=0.25),
+                        n_buckets=8, strategy="broadcast").to_pandas()
+    assert er.LAST_SCORE_STRATEGY == "broadcast"
+
+    ckpt = str(tmp_path / "ckpt_central")
+    cfg = default_config(threshold=0.25, checkpoint_dir=ckpt)
+    res = er.run_er(files, cfg, n_buckets=8, n_shards=3,
+                    strategy="broadcast")
+    p2 = res.pairs.to_pandas()
+
+    k1 = p1.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    k2 = p2.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(k1) == len(k2) > 0
+    assert (k1.id_a.values == k2.id_a.values).all()
+    assert (k1.id_b.values == k2.id_b.values).all()
+    assert (k1.exact.values == k2.exact.values).all()
+    assert (k1.twed.values == k2.twed.values).all()
+
+
 def test_stratified_central_pairgen_union_identical(two_sides):
     """S stratified central_pair_chunks calls must union to exactly the
     single-task pair set (blocks are atomic under block_key % S)."""

@@ -418,3 +418,52 @@ class TestAsofJoin:
         assert len(got) == n_l
         assert (got.n_matched.to_numpy() == np.array(want_n)).all()
         assert (got.matched_sum.to_numpy() == np.array(want_s)).all()
+
+    def test_range_agg_self_join_single_scan_parity(self, ray_session):
+        """Passing the same Dataset object twice takes the one-scan
+        prep_self path; it must match the two-scan path on two equal-value
+        but DISTINCT Dataset objects bit-for-bit."""
+        import ray.data as rd
+
+        from cutwed_ray.ops.joins import range_agg_join
+
+        rng = np.random.RandomState(11)
+        n = 400
+        t = pa.table({
+            "eid": pa.array(np.arange(n), pa.int64()),
+            "key": pa.array(rng.randint(0, 9, n), pa.int64()),
+            "t": pa.array(rng.randint(0, 60, n), pa.int64()),
+            "val": pa.array(rng.randint(0, 50, n), pa.int64()),
+        })
+        kw = dict(left_key="key", left_time="t", right_key="key",
+                  right_time="t", left_cols=["eid"], window_lo=-10,
+                  window_hi=0, value_col="val", n_buckets=3)
+        same = rd.from_arrow(t)
+        one_scan = range_agg_join(same, same, **kw).to_pandas() \
+            .sort_values("eid").reset_index(drop=True)
+        two_scan = range_agg_join(rd.from_arrow(t), rd.from_arrow(t),
+                                  **kw).to_pandas() \
+            .sort_values("eid").reset_index(drop=True)
+        assert len(one_scan) == n
+        for c in one_scan.columns:
+            assert (one_scan[c].to_numpy() == two_scan[c].to_numpy()).all(), c
+
+    def test_null_key_rejected(self, ray_session):
+        """Null join keys must raise, not silently NaN->garbage-int
+        (ADVICE r3: _as_int64 null guard)."""
+        import ray.data as rd
+
+        from cutwed_ray.ops.joins import asof_join
+
+        left = pa.table({"lid": pa.array([1, 2], pa.int64()),
+                         "key": pa.array([7, None], pa.int64()),
+                         "t": pa.array([10, 11], pa.int64())})
+        right = pa.table({"rid": pa.array([4], pa.int64()),
+                          "rkey": pa.array([7], pa.int64()),
+                          "rt": pa.array([10], pa.int64())})
+        with pytest.raises(Exception, match="null"):
+            asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                      left_key="key", left_time="t",
+                      right_key="rkey", right_time="rt",
+                      left_cols=["lid"], right_cols=["rid"],
+                      n_buckets=2).to_pandas()

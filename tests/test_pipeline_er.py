@@ -177,6 +177,42 @@ class TestCheckpointResume:
         assert (p1.id_a.values == p2.id_a.values).all()
         assert np.allclose(p1.twed.values, p2.twed.values)
 
+    def test_stale_format_checkpoint_resets(self, ray_session, corpus,
+                                            tmp_path):
+        """A manifest predating the current checkpoint format (the
+        tokenized schema contract changed when cluster_content landed) must
+        RESET the artifacts: the rerun rewrites tokenized/ instead of
+        appending mixed-era parquet files, and reproduces the identical
+        pair set (ADVICE r3)."""
+        import json
+
+        import ray.data as rd
+
+        files, truth = corpus
+        ckpt = str(tmp_path / "ckpt3")
+        cfg = default_config(threshold=0.25, checkpoint_dir=ckpt)
+        res1 = run_er(rd.from_arrow(files), cfg, n_buckets=16, n_shards=2)
+        p1 = res1.pairs.select_columns(["id_a", "id_b", "twed"]).to_pandas()
+        p1 = p1.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        tok_dir = os.path.join(ckpt, "tokenized")
+        n_tok_files = len(os.listdir(tok_dir))
+
+        man_path = os.path.join(ckpt, "manifest.json")
+        with open(man_path) as f:
+            man = json.load(f)
+        man.pop("format_version")          # simulate an older-code manifest
+        with open(man_path, "w") as f:
+            json.dump(man, f)
+
+        res2 = run_er(rd.from_arrow(files), cfg, n_buckets=16, n_shards=2)
+        p2 = res2.pairs.select_columns(["id_a", "id_b", "twed"]).to_pandas()
+        p2 = p2.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        # reset, not append: same tokenized file count as a fresh run
+        assert len(os.listdir(tok_dir)) == n_tok_files
+        assert len(p1) == len(p2)
+        assert (p1.id_a.values == p2.id_a.values).all()
+        assert np.allclose(p1.twed.values, p2.twed.values)
+
     def test_config_change_invalidates(self, ray_session, corpus, tmp_path):
         import json
 
