@@ -201,8 +201,11 @@ def train_ivf_centroids(ds, n_centroids: int = 64, sample_size: int = 4096,
     pull is capped at ``sample_size`` rows regardless of corpus size (the
     coarse quantizer needs only a sketch of the distribution).
     Returns unit-norm centroids (n_centroids, dim)."""
-    samp = ds.limit(sample_size).to_pandas()
-    X = _unit(np.stack([np.asarray(e, dtype=np.float64) for e in samp[emb_col]]))
+    import ray
+
+    parts = [t for t in ray.get(ds.limit(sample_size).to_arrow_refs())
+             if t.num_rows]
+    X = _unit(_emb_matrix(pa.concat_tables(parts), emb_col))
     return _kmeans_spherical(X, n_centroids, iters, seed)
 
 
@@ -234,18 +237,27 @@ def knn_ivf(ds, query_ids, k: int = 5, id_col: str = "vec_id",
         ids = t.column(id_col).to_numpy()
         return t.filter(pa.array(np.isin(ids, qset)))
 
-    q_parts = [t for t in ray.get(
-        ds.map_batches(take_queries, batch_format="pyarrow").to_arrow_refs())
-        if t.num_rows]
-    samp_parts = [t for t in ray.get(ds.limit(sample_size).to_arrow_refs())
-                  if t.num_rows]
-    if not samp_parts or not q_parts:
-        return _merge_topk(ds.limit(0), k, dedup=True)
-    samp_t = pa.concat_tables(samp_parts)
-    q_tbl = pa.concat_tables(q_parts)
+    def _pull(dset) -> list[pa.Table]:
+        return [t for t in ray.get(dset.to_arrow_refs()) if t.num_rows]
 
-    Xs = _unit(_emb_matrix(samp_t, emb_col))
-    C = _kmeans_spherical(Xs, n_centroids, iters=10, seed=seed)
+    # the two executions + the driver-side k-means OVERLAP: the full
+    # query-filter scan runs in a helper thread while the main thread does
+    # the prefix read and trains the centroids, so the bounded-pull design
+    # costs ~no extra wall over the old single pre-pass
+    import concurrent.futures as _cf
+
+    with _cf.ThreadPoolExecutor(1) as pool:
+        q_fut = pool.submit(
+            _pull, ds.map_batches(take_queries, batch_format="pyarrow"))
+        samp_parts = _pull(ds.limit(sample_size))
+        C = None
+        if samp_parts:
+            Xs = _unit(_emb_matrix(pa.concat_tables(samp_parts), emb_col))
+            C = _kmeans_spherical(Xs, n_centroids, iters=10, seed=seed)
+        q_parts = q_fut.result()
+    if C is None or not q_parts:
+        return _merge_topk(ds.limit(0), k, dedup=True)
+    q_tbl = pa.concat_tables(q_parts)
     C_ref = ray.put(C)
 
     def assign_cell(t: pa.Table) -> pa.Table:
