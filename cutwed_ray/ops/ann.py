@@ -331,22 +331,28 @@ def knn_lsh(ds, query_ids, k: int = 5, id_col: str = "vec_id",
     """
     import ray
 
-    dim = len(ds.take(1)[0][emb_col])
-    stage = LshBucketStage(dim, n_planes, seed, emb_col)
-    bucketed = ds.map_batches(stage, batch_format="pyarrow")
-
     qset = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
 
-    def is_query(t: pa.Table) -> pa.Table:
+    # ONE full query-filter scan over the RAW dataset (the former version
+    # spent a ds.take(1) execution on the dim probe plus a second full
+    # scan over the bucketed table); the dim comes from the pulled query
+    # rows and their buckets are recomputed driver-side with the same
+    # seeded planes — bit-identical to the worker-side assignment
+    def take_queries(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy()
         return t.filter(pa.array(np.isin(ids, qset)))
 
-    q_tbl = pa.concat_tables(
-        [ray.get(r) for r in bucketed.map_batches(is_query, batch_format="pyarrow").to_arrow_refs()]
-    )
+    q_parts = [t for t in ray.get(
+        ds.map_batches(take_queries, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    if not q_parts:
+        return _merge_topk(ds.limit(0), k, dedup=True)
+    q_tbl = pa.concat_tables(q_parts)
     Q = _emb_matrix(q_tbl, emb_col)
+    stage = LshBucketStage(Q.shape[1], n_planes, seed, emb_col)
+    bucketed = ds.map_batches(stage, batch_format="pyarrow")
     qids = q_tbl.column(id_col).to_numpy().astype(np.int64)
-    qbuckets = q_tbl.column("ann_bucket").to_numpy().view(np.uint64)
+    qbuckets = stage.bucket_of(Q).view(np.uint64)
 
     # expand probe set: query bucket + all buckets at Hamming <= multiprobe
     import itertools
