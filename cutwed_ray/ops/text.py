@@ -135,6 +135,61 @@ class LangIdStage:
         return out.append_column("lang_score", pa.array(best_score, pa.float64()))
 
 
+def repetition_signals(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    all-integer so the DuckDB oracle is exact:
+
+    ``n_words`` int64 (whitespace tokens), ``n_bigrams`` int64
+    (max(n_words-1, 0)), ``n_distinct_bigrams`` int64 (exact distinct
+    count of adjacent word pairs), ``top_word_count`` int64 (occurrences
+    of the most frequent word; 0 for empty docs).  Downstream filters
+    derive ratios (dup-bigram fraction, top-word fraction) from these.
+
+    One flat-buffer tokenize + two lexsorts per batch — no per-row
+    Python.  Distinctness is computed on 64-bit token hashes (the same
+    assumption the minhash/ngram ops make): two *different* words
+    colliding inside one document would be needed to miscount.
+    """
+    th, offsets = tokenize_content(batch.column(text_col), max_tokens=1 << 31 - 1)
+    n_docs = len(batch)
+    n_words = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    n_bigrams = np.maximum(n_words - 1, 0)
+    n_distinct = np.zeros(n_docs, dtype=np.int64)
+    top = np.zeros(n_docs, dtype=np.int64)
+
+    if th.shape[0]:
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+
+        # distinct adjacent pairs per doc: lexsort (doc, h1, h2) then count
+        # run boundaries — the pair stays 128-bit (two sort keys), no fold
+        same = doc_idx[1:] == doc_idx[:-1]
+        if same.any():
+            g_doc = doc_idx[:-1][same]
+            h1, h2 = th[:-1][same], th[1:][same]
+            order = np.lexsort((h2, h1, g_doc))
+            d, a, b = g_doc[order], h1[order], h2[order]
+            new = np.empty(d.size, dtype=bool)
+            new[0] = True
+            np.logical_or(d[1:] != d[:-1], a[1:] != a[:-1], out=new[1:])
+            np.logical_or(new[1:], b[1:] != b[:-1], out=new[1:])
+            n_distinct += np.bincount(d[new], minlength=n_docs).astype(np.int64)
+
+        # top word count per doc: run lengths of (doc, hash), segmented max
+        order2 = np.lexsort((th, doc_idx))
+        d2, t2 = doc_idx[order2], th[order2]
+        run_b = np.flatnonzero(
+            np.r_[True, (d2[1:] != d2[:-1]) | (t2[1:] != t2[:-1])])
+        run_len = np.diff(np.r_[run_b, d2.size])
+        run_doc = d2[run_b]
+        doc_b = np.flatnonzero(np.r_[True, run_doc[1:] != run_doc[:-1]])
+        top[run_doc[doc_b]] = np.maximum.reduceat(run_len, doc_b)
+
+    out = batch.append_column("n_words", pa.array(n_words, pa.int64()))
+    out = out.append_column("n_bigrams", pa.array(n_bigrams, pa.int64()))
+    out = out.append_column("n_distinct_bigrams", pa.array(n_distinct, pa.int64()))
+    return out.append_column("top_word_count", pa.array(top, pa.int64()))
+
+
 def fingerprint(batch: pa.Table, text_col: str = "text", k: int = 5,
                 window: int = 8) -> pa.Table:
     """Winnowing document fingerprint (Schleimer et al. 2003 style):

@@ -182,6 +182,57 @@ FROM documents
 """
 
 
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style repetition quality signals (duplicate-bigram and
+    top-word counts) — the all-integer output keeps the DuckDB oracle
+    exact (no FP rounding convention needed)."""
+    from cutwed_ray.ops.text import repetition_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: repetition_signals(t).select(
+            ["doc_id", "n_words", "n_bigrams", "n_distinct_bigrams",
+             "top_word_count"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REPETITION_SIGNALS = r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+         END AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, len(ws) AS nw,
+         list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                        i -> ws[i] || ' ' || ws[i + 1]) AS grams
+  FROM w
+),
+d AS (
+  SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct_bigrams
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g) GROUP BY doc_id
+),
+tw AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_count
+  FROM (SELECT doc_id, word, count(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+        GROUP BY doc_id, word)
+  GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(g.nw AS BIGINT) AS n_words,
+       CAST(greatest(g.nw - 1, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(d.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       COALESCE(tw.top_word_count, 0) AS top_word_count
+FROM g LEFT JOIN d USING (doc_id) LEFT JOIN tw USING (doc_id)
+"""
+
+
 def q_lang_doc_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
 
@@ -1113,6 +1164,18 @@ def q_link_documents(sf_dir: str):
                                   "exact", "block_key", "side_a", "side_b"])
 
 
+def q_embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (semantic
+    clustering for dedup/curation): iterative map_batches partial-sum
+    passes, fixed-point int64 accumulation so the assignment is
+    bit-deterministic across CPU counts and block layouts (the fixture
+    oracle's requirement); nothing corpus-sized reaches the driver."""
+    from cutwed_ray.ops.kmeans import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_assign(ds, k=8, iters=4, seed=17)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: synthetic binary media table -> actor-pool
     decode-stub -> feature vectors (sf_dir sets the table size).
@@ -1154,6 +1217,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "token_counts_bpe": q_token_counts_bpe,
     "text_quality": q_text_quality,
+    "repetition_signals": q_repetition_signals,
     "lang_doc_stats": q_lang_doc_stats,
     "top_docs_by_chars": q_top_docs_by_chars,
     "lineitem_pricing": q_lineitem_pricing,
@@ -1180,6 +1244,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "embedding_kmeans": q_embedding_kmeans,
     "twed_pairs_documents": q_twed_pairs_documents,
     "twed_topk_neighbors": q_twed_topk_neighbors,
     "er_clusters_documents": q_er_clusters_documents,
@@ -1204,6 +1269,7 @@ FIXTURE_ORACLES: dict[str, list[str]] = {
     "embedding_near_dup": ["id_a", "id_b"],
     "knn_lsh": ["query_id", "rank"],
     "knn_ivf": ["query_id", "rank"],
+    "embedding_kmeans": ["vec_id"],
     "twed_pairs_documents": ["id_a", "id_b"],
     "twed_topk_neighbors": ["row_id", "rank"],
     "er_clusters_documents": ["path"],
@@ -1227,6 +1293,7 @@ ORACLE = {
     "token_counts": SQL_TOKEN_COUNTS,
     "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
     "text_quality": SQL_TEXT_QUALITY,
+    "repetition_signals": SQL_REPETITION_SIGNALS,
     "lang_doc_stats": SQL_LANG_DOC_STATS,
     "top_docs_by_chars": SQL_TOP_DOCS,
     "lineitem_pricing": SQL_LINEITEM_PRICING,

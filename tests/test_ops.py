@@ -467,3 +467,101 @@ class TestAsofJoin:
                       right_key="rkey", right_time="rt",
                       left_cols=["lid"], right_cols=["rid"],
                       n_buckets=2).to_pandas()
+
+
+class TestRepetitionSignals:
+    def test_matches_duckdb(self, doc_table):
+        """Engine batch function vs an independent DuckDB derivation of
+        the same Gopher-style signals (pure function — no Ray needed)."""
+        import duckdb
+
+        from cutwed_ray.ops.text import repetition_signals
+
+        got = repetition_signals(doc_table).select(
+            ["doc_id", "n_words", "n_bigrams", "n_distinct_bigrams",
+             "top_word_count"]).to_pandas()
+
+        con = duckdb.connect()
+        con.register("documents", doc_table)
+        from cutwed_ray.pipelines.queries import SQL_REPETITION_SIGNALS
+        want = con.sql(SQL_REPETITION_SIGNALS + " ORDER BY doc_id").df()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        for c in want.columns:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_edge_docs(self):
+        from cutwed_ray.ops.text import repetition_signals
+
+        t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                      "text": pa.array(["", "one", "a a a b", "  x  y "],
+                                       pa.string())})
+        out = repetition_signals(t).to_pandas()
+        assert out["n_words"].tolist() == [0, 1, 4, 2]
+        assert out["n_bigrams"].tolist() == [0, 0, 3, 1]
+        # "a a a b": grams {a a, a a, a b} -> 2 distinct; top word a x3
+        assert out["n_distinct_bigrams"].tolist() == [0, 0, 2, 1]
+        assert out["top_word_count"].tolist() == [0, 1, 3, 1]
+
+
+class TestEmbeddingKMeans:
+    def test_matches_single_process_reference(self, ray_session):
+        """Distributed fixed-point Lloyd vs a straight NumPy
+        implementation of the identical algorithm on the same input."""
+        import ray.data as rd
+
+        from cutwed_ray.ops.kmeans import _FP, _assign, kmeans_assign
+
+        rng = np.random.RandomState(3)
+        n, dim, k, iters, seed = 300, 16, 6, 4, 17
+        X = rng.randn(n, dim).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(X.ravel(), pa.float32()), dim),
+        })
+
+        got = kmeans_assign(rd.from_arrow(t), k=k, iters=iters,
+                            seed=seed).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+
+        # reference: same seeded prefix-sample init, same fixed-point fold
+        Xd = X.astype(np.float64)
+        idx = np.sort(np.random.default_rng(seed).choice(
+            n, size=k, replace=False))
+        C = Xd[idx].copy()
+        Xq = np.rint(Xd * _FP).astype(np.int64)
+        for _ in range(iters):
+            a = _assign(Xd, C)
+            counts = np.bincount(a, minlength=k)
+            C = C.copy()
+            for c in range(k):
+                if counts[c]:
+                    C[c] = Xq[a == c].sum(axis=0) / (counts[c] * _FP)
+        want = _assign(Xd, C)
+
+        assert (got["cluster"].to_numpy() == want).all()
+        assert got["cluster"].nunique() > 1
+
+    def test_deterministic_across_block_layout(self, ray_session):
+        import ray.data as rd
+
+        from cutwed_ray.ops.kmeans import kmeans_assign
+
+        rng = np.random.RandomState(5)
+        n, dim = 257, 8
+        X = rng.randn(n, dim).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(X.ravel(), pa.float32()), dim),
+        })
+        outs = []
+        for blocks in (1, 7):
+            ds = rd.from_arrow(t)
+            if blocks > 1:
+                ds = ds.repartition(blocks)
+            outs.append(kmeans_assign(ds, k=5, iters=3, seed=9)
+                        .to_pandas().sort_values("vec_id")
+                        .reset_index(drop=True))
+        assert (outs[0]["cluster"].to_numpy()
+                == outs[1]["cluster"].to_numpy()).all()
