@@ -158,7 +158,9 @@ def run_bench() -> dict:
                      "order_priority_revenue", "events_hourly",
                      "events_hopping", "events_asof_order",
                      "events_prev_hour", "knn_bruteforce", "knn_ivf",
-                     "exact_dedup"]:
+                     "exact_dedup", "repetition_signals",
+                     "embedding_kmeans", "events_value_quantiles",
+                     "customers_no_orders", "approx_user_counts"]:
             t0 = time.time()
             out = Q.QUERIES[name](SF_DIR)
             # consume without materializing to the driver more than needed

@@ -1,0 +1,182 @@
+"""Distributed grouped aggregates beyond Ray Data's built-ins:
+
+* :func:`grouped_quantiles` — exact per-group discrete quantiles
+  (``quantile_disc`` semantics) over an integer-unit value column, via a
+  distributed value histogram — no global sort, no per-group row
+  materialization.
+* :func:`hll_distinct` — HyperLogLog approximate distinct count per
+  group: a mergeable fixed-size sketch (2^p byte registers), the classic
+  cardinality primitive of 100-TB pipelines where exact COUNT(DISTINCT)
+  would shuffle every id.
+
+Both follow the repo's engine-native operator contract (SURVEY.md §2.6):
+light rows on the shuffle, vectorized per-group kernels, partitioning
+assumptions documented on each function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def quantile_disc_from_hist(values: np.ndarray, counts: np.ndarray,
+                            qs: tuple[float, ...]) -> list[int]:
+    """Discrete quantiles from a (sorted-value, count) histogram of ONE
+    group.  Matches DuckDB/Postgres ``quantile_disc``/``percentile_disc``:
+    the element at index ``ceil(q * n) - 1`` of the sorted multiset —
+    verified empirically against DuckDB (n=4/5 edge probes) and pinned by
+    the sf0.01 oracle.  IEEE-double ``q * n`` on both sides keeps the
+    integer-boundary rounding identical."""
+    cum = np.cumsum(counts, dtype=np.int64)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        target = int(np.ceil(q * float(n)))
+        target = max(1, min(target, n))
+        idx = int(np.searchsorted(cum, target, side="left"))
+        out.append(int(values[idx]))
+    return out
+
+
+def grouped_quantiles(ds, group_col: str, value_col: str,
+                      qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)):
+    """Exact per-group discrete quantiles of an int64 value column.
+
+    Scale shape: per-batch pandas partial collapses duplicate (group,
+    value) pairs, a distributed ``groupby([group, value])`` sum builds the
+    exact global histogram (rows = distinct pairs, not input rows), and
+    one ``map_groups`` per GROUP walks its histogram with a cumsum +
+    searchsorted — never the raw rows.  Partitioning assumption: one
+    group's DISTINCT values fit one task (the group count itself is
+    assumed small, e.g. event types / languages / shards — for unbounded
+    group domains add a coarse bucket upstream).
+
+    Returns ``(group_col, n_rows, q25 .. q99)`` with int64 quantile
+    columns named ``q<pct>`` (e.g. ``q25``, ``q50``, ``q90``, ``q99``).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t.column(group_col).to_pandas(),
+            "v": t.column(value_col).to_numpy().astype(np.int64),
+        })
+        out = df.groupby(["g", "v"], as_index=False, sort=False).size()
+        return pa.table({
+            group_col: pa.array(out.g),
+            value_col: pa.array(out.v.to_numpy(), pa.int64()),
+            "cnt": pa.array(out["size"].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, value_col])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    qnames = [f"q{int(round(q * 100))}" for q in qs]
+
+    def finish(g: pa.Table) -> pa.Table:
+        v = g.column(value_col).to_numpy().astype(np.int64)
+        c = g.column("cnt").to_numpy().astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        qvals = quantile_disc_from_hist(v, c, qs)
+        cols = {group_col: g.column(group_col)[:1],
+                "n_rows": pa.array([int(c.sum())], pa.int64())}
+        for name, val in zip(qnames, qvals):
+            cols[name] = pa.array([val], pa.int64())
+        return pa.table(cols)
+
+    return hist.groupby(group_col).map_groups(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ HLL ----
+#: HLL bias constant alpha_m for m >= 128 registers
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(ids: np.ndarray, p: int) -> np.ndarray:
+    """Dense HLL register array (uint8, len 2^p) of one batch of int64 ids:
+    splitmix64 the ids, the top ``p`` bits pick the register, the rank is
+    1 + leading-zero count of the remaining ``64 - p`` bits.  Fully
+    vectorized (one maximum.at scatter)."""
+    from cutwed_ray.stages.hashing import splitmix64
+
+    m = 1 << p
+    h = splitmix64(ids.astype(np.uint64))
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits
+    # leading zeros of a uint64 via float64 exponent is unsafe past 2^53;
+    # use a 4-step binary reduction instead (vectorized, exact)
+    lz = np.zeros(len(h), dtype=np.uint8)
+    x = rest.copy()
+    for shift, bits in ((np.uint64(32), 32), (np.uint64(16), 16),
+                        (np.uint64(8), 8), (np.uint64(4), 4),
+                        (np.uint64(2), 2), (np.uint64(1), 1)):
+        mask = x < (np.uint64(1) << (np.uint64(64) - shift))
+        lz[mask] += np.uint8(bits)
+        x[mask] = x[mask] << shift
+    rank = lz.astype(np.uint8) + np.uint8(1)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, reg, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Classic HLL estimator with the small-range linear-counting
+    correction (Flajolet et al. 2007) — deterministic, no large-range
+    correction needed for 64-bit hashes."""
+    m = regs.shape[0]
+    E = _alpha(m) * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    if E <= 2.5 * m:
+        V = int(np.count_nonzero(regs == 0))
+        if V:
+            E = m * np.log(m / float(V))
+    return int(np.floor(E + 0.5))
+
+
+def hll_distinct(ds, group_col: str, id_col: str, p: int = 12):
+    """Approximate COUNT(DISTINCT id) per group via HyperLogLog.
+
+    Scale shape: each batch emits ONE fixed-size row per group present in
+    it — ``(group, 2^p-byte register blob)`` — so the shuffle volume is
+    O(batches x groups x 2^p bytes), independent of row count; the
+    per-group merge is an elementwise ``np.maximum`` over blobs plus one
+    O(m) estimate.  Standard error ~= 1.04/sqrt(2^p) (~1.6% at p=12).
+    Partitioning assumption: one group's blobs fit one task (blob count =
+    upstream batch count).  Deterministic: splitmix64-seeded, no RNG.
+
+    Returns ``(group_col, approx_distinct int64)``.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_pandas().to_numpy()
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        keys, inv = np.unique(g, return_inverse=True)
+        blobs = []
+        for gi in range(len(keys)):
+            blobs.append(hll_registers(ids[inv == gi], p).tobytes())
+        return pa.table({
+            group_col: pa.array(keys),
+            "hll": pa.array(blobs, pa.binary()),
+        })
+
+    def merge(grp: pa.Table) -> pa.Table:
+        raw = grp.column("hll").to_pylist()
+        regs = np.frombuffer(b"".join(raw), dtype=np.uint8).reshape(len(raw), -1)
+        est = hll_estimate(regs.max(axis=0))
+        return pa.table({
+            group_col: grp.column(group_col)[:1],
+            "approx_distinct": pa.array([est], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col)
+              .map_groups(merge, batch_format="pyarrow"))

@@ -308,3 +308,71 @@ def range_agg_join(left, right, *, left_key: str, left_time: str,
         light = (left.map_batches(prep_left, batch_format="pyarrow")
                  .union(right.map_batches(prep_right, batch_format="pyarrow")))
     return light.groupby("jbkt").map_groups(merge, batch_format="pyarrow")
+
+
+def key_filter_join(left, right, *, left_key: str, right_key: str,
+                    left_cols: list[str], anti: bool = False,
+                    n_buckets: int | None = None):
+    """Distributed SEMI (``anti=False``) / ANTI (``anti=True``) join:
+    emit the ``left_cols`` of left rows whose key does (not) appear in
+    the right side.  Equivalent SQL: ``WHERE [NOT] EXISTS (SELECT 1 FROM
+    right r WHERE r.key = l.key)``.
+
+    Scale shape (shared with :func:`asof_join`): the right side is
+    reduced to per-batch DISTINCT keys at the read — one int64 per
+    distinct key rides the shuffle, never the right payload — both sides
+    co-partition on a coarse hash bucket of the key, and each group
+    resolves all its keys with ONE sorted ``np.isin`` pass.  Key columns
+    must be null-free (``_as_int64`` raises otherwise).  Hot keys cost
+    one bucket, the documented coarse-bucket limit.
+    """
+    from cutwed_ray.stages.cluster import coarse_buckets
+
+    nb = n_buckets or coarse_buckets()
+    lcols = list(left_cols)
+    l_schema = left.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+
+    def _bucket(keys: np.ndarray) -> pa.Array:
+        b = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             ) % np.uint64(nb)
+        return pa.array(b.astype(np.int32), pa.int32())
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        k = _as_int64(t.column(left_key))
+        cols = {
+            "jbkt": _bucket(k),
+            "k": pa.array(k, pa.int64()),
+            "is_left": pa.array(np.ones(len(t), np.int8), pa.int8()),
+        }
+        for c in lcols:
+            cols[f"L_{c}"] = t.column(c)
+        return pa.table(cols)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        k = np.unique(_as_int64(t.column(right_key)))   # per-batch distinct
+        cols = {
+            "jbkt": _bucket(k),
+            "k": pa.array(k, pa.int64()),
+            "is_left": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+        }
+        for c in lcols:
+            cols[f"L_{c}"] = pa.nulls(len(k), l_types[c])
+        return pa.table(cols)
+
+    def merge(t: pa.Table) -> pa.Table:
+        out_names = [f"L_{c}" for c in lcols]
+        if len(t) == 0:
+            return t.select(out_names).rename_columns(lcols)
+        k = t.column("k").to_numpy()
+        isl = t.column("is_left").to_numpy().astype(bool)
+        rk = np.unique(k[~isl])
+        hit = np.isin(k[isl], rk, assume_unique=False)
+        keep = np.flatnonzero(isl)[~hit if anti else hit]
+        sel = pa.array(keep, pa.int64())
+        out = {c: t.column(f"L_{c}").take(sel) for c in lcols}
+        return pa.table(out)
+
+    light = (left.map_batches(prep_left, batch_format="pyarrow")
+             .union(right.map_batches(prep_right, batch_format="pyarrow")))
+    return light.groupby("jbkt").map_groups(merge, batch_format="pyarrow")

@@ -1210,6 +1210,86 @@ def q_media_features(sf_dir: str):
     return out.map_batches(flat, batch_format="pyarrow")
 
 
+def q_events_value_quantiles(sf_dir: str):
+    """Exact per-type discrete quantiles (p25/p50/p75/p90/p99) of the
+    event value in integer micros — the distributed-histogram quantile
+    operator (``ops.agg.grouped_quantiles``): duplicate (type, value)
+    pairs collapse per batch, the global groupby shuffles DISTINCT pairs
+    only, and each type walks its histogram with one cumsum."""
+    from cutwed_ray.ops.agg import grouped_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def micros(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy()
+        vu = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "value_u": pa.array(vu, pa.int64())})
+
+    return grouped_quantiles(
+        ds.map_batches(micros, batch_format="pyarrow"),
+        "event_type", "value_u", qs=(0.25, 0.5, 0.75, 0.9, 0.99))
+
+
+SQL_EVENTS_VALUE_QUANTILES = """
+WITH vu AS (
+  SELECT event_type, CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS value_u
+  FROM events
+)
+SELECT event_type, count(*) AS n_rows,
+       CAST(quantile_disc(value_u, 0.25) AS BIGINT) AS q25,
+       CAST(quantile_disc(value_u, 0.5)  AS BIGINT) AS q50,
+       CAST(quantile_disc(value_u, 0.75) AS BIGINT) AS q75,
+       CAST(quantile_disc(value_u, 0.9)  AS BIGINT) AS q90,
+       CAST(quantile_disc(value_u, 0.99) AS BIGINT) AS q99
+FROM vu GROUP BY event_type
+"""
+
+
+def q_customers_no_orders(sf_dir: str):
+    """ANTI join: customers that never placed a 1-URGENT order
+    (``ops.joins.key_filter_join`` — the right side is FILTERED then
+    reduced to per-batch distinct keys at the read, so only matching
+    int64 keys ride the shuffle; coarse co-partition, one sorted isin
+    per group).  The priority filter keeps the result non-degenerate
+    (every customer in this testdata has SOME order)."""
+    from cutwed_ray.ops.joins import key_filter_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t.column("o_orderpriority"), "1-URGENT")
+        return t.filter(mask).select(["o_custkey"])
+
+    return key_filter_join(cust,
+                           orders.map_batches(urgent, batch_format="pyarrow"),
+                           left_key="c_custkey", right_key="o_custkey",
+                           left_cols=["c_custkey", "c_mktsegment"],
+                           anti=True)
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_approx_user_counts(sf_dir: str):
+    """HyperLogLog approximate distinct users per event type
+    (``ops.agg.hll_distinct``): one 4-KiB mergeable sketch per (batch,
+    type) rides the shuffle instead of every distinct id — THE
+    cardinality primitive at 100 TB.  Deterministic (splitmix64-seeded,
+    no RNG), so the oracle is a pinned fixture; accuracy vs the exact
+    count is asserted in tests/test_agg_ops.py (~1.6% rse at p=12)."""
+    from cutwed_ray.ops.agg import hll_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_distinct(ds, "event_type", "user_id", p=12)
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "exact_cluster": q_exact_cluster,
@@ -1233,6 +1313,8 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_asof_order": q_events_asof_order,
     "events_prev_hour": q_events_prev_hour,
+    "events_value_quantiles": q_events_value_quantiles,
+    "customers_no_orders": q_customers_no_orders,
     "knn_bruteforce": q_knn_bruteforce,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -1245,6 +1327,7 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "embedding_kmeans": q_embedding_kmeans,
+    "approx_user_counts": q_approx_user_counts,
     "twed_pairs_documents": q_twed_pairs_documents,
     "twed_topk_neighbors": q_twed_topk_neighbors,
     "er_clusters_documents": q_er_clusters_documents,
@@ -1270,6 +1353,7 @@ FIXTURE_ORACLES: dict[str, list[str]] = {
     "knn_lsh": ["query_id", "rank"],
     "knn_ivf": ["query_id", "rank"],
     "embedding_kmeans": ["vec_id"],
+    "approx_user_counts": ["event_type"],
     "twed_pairs_documents": ["id_a", "id_b"],
     "twed_topk_neighbors": ["row_id", "rank"],
     "er_clusters_documents": ["path"],
@@ -1309,6 +1393,8 @@ ORACLE = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof_order": SQL_EVENTS_ASOF_ORDER,
     "events_prev_hour": SQL_EVENTS_PREV_HOUR,
+    "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
+    "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_near_dup_exact": SQL_EMBEDDING_NEAR_DUP_EXACT,

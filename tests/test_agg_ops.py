@@ -1,0 +1,171 @@
+"""Unit tests for ops.agg (grouped quantiles, HLL) and the semi/anti join.
+
+The oracle-parity test (test_queries_oracle.py) pins the DuckDB match for
+the quantile and anti-join queries; these tests carry the independent
+verification load — brute-force twins on random inputs and HLL accuracy
+vs exact counts."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# --------------------------------------------------------- pure quantile core
+def test_quantile_disc_from_hist_matches_brute_force():
+    from cutwed_ray.ops.agg import quantile_disc_from_hist
+
+    rng = np.random.RandomState(7)
+    for trial in range(50):
+        vals = rng.randint(-50, 50, size=rng.randint(1, 40)).astype(np.int64)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        s = np.sort(vals)
+        n = len(s)
+        qs = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+        got = quantile_disc_from_hist(uniq, cnt, qs)
+        want = [int(s[max(1, min(int(np.ceil(q * float(n))), n)) - 1]) for q in qs]
+        assert got == want, (trial, vals)
+
+
+def test_quantile_disc_matches_duckdb_rule():
+    """Pin the ceil(q*n)-1 rule against DuckDB directly on random data."""
+    import duckdb
+
+    from cutwed_ray.ops.agg import quantile_disc_from_hist
+
+    rng = np.random.RandomState(11)
+    con = duckdb.connect()
+    for trial in range(10):
+        vals = rng.randint(0, 1000, size=rng.randint(3, 200)).astype(np.int64)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+        got = quantile_disc_from_hist(uniq, cnt, qs)
+        df = __import__("pandas").DataFrame({"x": vals})
+        con.register("t", df)
+        want = [con.sql(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+                for q in qs]
+        con.unregister("t")
+        assert got == [int(w) for w in want], (trial, vals)
+
+
+# -------------------------------------------------------- distributed wrapper
+def test_grouped_quantiles_dataset(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.agg import grouped_quantiles
+
+    rng = np.random.RandomState(3)
+    g = rng.choice(["a", "b", "c"], size=500)
+    v = rng.randint(0, 100, size=500).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "v": v})).repartition(7)
+    out = grouped_quantiles(ds, "g", "v", qs=(0.5, 0.9)).to_pandas()
+    out = out.sort_values("g").reset_index(drop=True)
+    for _, row in out.iterrows():
+        s = np.sort(v[g == row.g])
+        n = len(s)
+        assert row.n_rows == n
+        assert row.q50 == s[int(np.ceil(0.5 * n)) - 1]
+        assert row.q90 == s[int(np.ceil(0.9 * n)) - 1]
+
+
+# ------------------------------------------------------------------------ HLL
+def test_hll_registers_merge_property():
+    """Register arrays are mergeable: regs(A ∪ B) == max(regs(A), regs(B))."""
+    from cutwed_ray.ops.agg import hll_registers
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 10**9, size=1000).astype(np.int64)
+    b = rng.randint(0, 10**9, size=1000).astype(np.int64)
+    ra, rb = hll_registers(a, p=10), hll_registers(b, p=10)
+    rab = hll_registers(np.r_[a, b], p=10)
+    assert (np.maximum(ra, rb) == rab).all()
+
+
+@pytest.mark.parametrize("n", [100, 5000, 50000])
+def test_hll_estimate_accuracy(n):
+    from cutwed_ray.ops.agg import hll_estimate, hll_registers
+
+    rng = np.random.RandomState(n)
+    ids = rng.randint(0, 10**12, size=n * 2).astype(np.int64)[:n]
+    exact = len(np.unique(ids))
+    est = hll_estimate(hll_registers(ids, p=12))
+    # p=12 -> rse ~1.6%; allow 6 sigma
+    assert abs(est - exact) <= max(10, 0.1 * exact), (est, exact)
+
+
+def test_hll_distinct_dataset_vs_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cutwed_ray.ops.agg import hll_distinct
+
+    rng = np.random.RandomState(9)
+    g = rng.choice(["x", "y"], size=4000)
+    ids = rng.randint(0, 800, size=4000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "uid": ids})).repartition(5)
+    out = hll_distinct(ds, "g", "uid", p=12).to_pandas()
+    exact = pd.DataFrame({"g": g, "uid": ids}).groupby("g").uid.nunique()
+    for _, row in out.iterrows():
+        assert abs(row.approx_distinct - exact[row.g]) <= 0.1 * exact[row.g]
+
+
+def test_hll_distinct_block_layout_invariant(ray_session):
+    """Sketches are order- and partitioning-insensitive: different block
+    layouts give the bit-identical estimate (fixture-oracle requirement)."""
+    import ray.data as rd
+
+    from cutwed_ray.ops.agg import hll_distinct
+
+    rng = np.random.RandomState(21)
+    g = rng.choice(["x", "y", "z"], size=3000)
+    ids = rng.randint(0, 500, size=3000).astype(np.int64)
+    t = pa.table({"g": g, "uid": ids})
+    outs = []
+    for parts in (1, 4, 13):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(hll_distinct(ds, "g", "uid", p=12).to_pandas()
+                    .sort_values("g").reset_index(drop=True))
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+
+
+# ------------------------------------------------------------- semi/anti join
+def test_key_filter_join_semi_and_anti(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cutwed_ray.ops.joins import key_filter_join
+
+    rng = np.random.RandomState(13)
+    lk = rng.randint(0, 50, size=300).astype(np.int64)
+    payload = rng.randint(0, 10**6, size=300).astype(np.int64)
+    rk = rng.randint(25, 75, size=400).astype(np.int64)
+    left = rd.from_arrow(pa.table({"k": lk, "p": payload})).repartition(3)
+    right = rd.from_arrow(pa.table({"rk": rk})).repartition(4)
+
+    have = set(rk.tolist())
+    want_semi = pd.DataFrame({"k": lk, "p": payload})[
+        np.isin(lk, list(have))].sort_values(["k", "p"]).reset_index(drop=True)
+    want_anti = pd.DataFrame({"k": lk, "p": payload})[
+        ~np.isin(lk, list(have))].sort_values(["k", "p"]).reset_index(drop=True)
+
+    got_semi = (key_filter_join(left, right, left_key="k", right_key="rk",
+                                left_cols=["k", "p"]).to_pandas()
+                .sort_values(["k", "p"]).reset_index(drop=True))
+    got_anti = (key_filter_join(left, right, left_key="k", right_key="rk",
+                                left_cols=["k", "p"], anti=True).to_pandas()
+                .sort_values(["k", "p"]).reset_index(drop=True))
+    assert got_semi.equals(want_semi)
+    assert got_anti.equals(want_anti)
+    assert len(got_semi) + len(got_anti) == 300
+
+
+def test_key_filter_join_rejects_null_keys(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.joins import key_filter_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, None], pa.int64()),
+                                   "p": pa.array([1, 2], pa.int64())}))
+    right = rd.from_arrow(pa.table({"rk": pa.array([1], pa.int64())}))
+    with pytest.raises(Exception, match="null"):
+        key_filter_join(left, right, left_key="k", right_key="rk",
+                        left_cols=["k", "p"]).to_pandas()

@@ -71,6 +71,7 @@ SQL_CHECKED = ["exact_dedup", "exact_cluster", "block_counts", "token_counts",
                "event_type_users", "supplier_region_revenue",
                "events_hourly", "events_hopping", "events_type_stats",
                "events_sessions", "events_asof_order", "events_prev_hour",
+               "events_value_quantiles", "customers_no_orders",
                "knn_bruteforce", "ngram_jaccard", "embedding_near_dup_exact"]
 
 
@@ -83,6 +84,7 @@ def test_oracle_parity(contract, oracle_con, name):
 
 ROWS_ONLY = ["minhash_near_dup", "simhash_near_dup", "embedding_near_dup",
              "langid", "fingerprint", "knn_lsh", "knn_ivf",
+             "approx_user_counts",
              "twed_pairs_documents", "twed_topk_neighbors",
              "er_clusters_documents", "link_documents", "media_features"]
 
