@@ -273,24 +273,28 @@ def knn_ivf(ds, query_ids, k: int = 5, id_col: str = "vec_id",
     qsim = _unit(Q) @ C.T                         # (nq, n_centroids)
     n_probe = min(n_probe, C.shape[0])
     probe_cells = np.argpartition(-qsim, kth=n_probe - 1, axis=1)[:, :n_probe]
-    probe: dict[int, list[int]] = {}
-    for qi, q in enumerate(qids.tolist()):
-        for c in probe_cells[qi].tolist():
-            probe.setdefault(int(c), []).append(q)
-    qemb = {int(q): Q[i] for i, q in enumerate(qids)}
-    probe_ref = ray.put((probe, qemb))
+    # probe table as ARRAYS (no per-query dict/list building in the hot
+    # path): (cell, qid) rows sorted by cell, plus a unit query matrix
+    # indexed in qid-sorted order — each scorer group slices its qids with
+    # one searchsorted and gathers its query rows with one fancy-index
+    cells_flat = probe_cells.reshape(-1).astype(np.int64)
+    qrows_flat = np.repeat(np.arange(len(qids), dtype=np.int64), n_probe)
+    order = np.argsort(cells_flat, kind="stable")
+    probe_ref = ray.put({
+        "cells": cells_flat[order], "qrows": qrows_flat[order],
+        "qids": qids, "Qu": _unit(Q),
+    })
 
     def cell_scorer(g: pa.Table) -> pa.Table:
-        p, qe = ray.get(probe_ref)
+        p = ray.get(probe_ref)
         key = int(g.column("ivf_cell")[0].as_py())
-        qids_here = p.get(key, [])
-        if not qids_here:
+        lo, hi = np.searchsorted(p["cells"], [key, key + 1])
+        if lo == hi:
             return _EMPTY_LOCAL
+        qrows = p["qrows"][lo:hi]
         X = _unit(_emb_matrix(g, emb_col))     # flat-buffer gather, no stack
         ids = g.column(id_col).to_numpy()
-        Qm = _unit(np.stack([qe[q] for q in qids_here]))
-        return _score_candidates(ids, X, Qm,
-                                 np.asarray(qids_here, np.int64), k)
+        return _score_candidates(ids, X, p["Qu"][qrows], p["qids"][qrows], k)
 
     local = celled.groupby("ivf_cell").map_groups(cell_scorer,
                                                   batch_format="pyarrow")
@@ -368,25 +372,28 @@ def knn_lsh(ds, query_ids, k: int = 5, id_col: str = "vec_id",
     for m in flips[1:]:
         probe_rows.append(qids)
         probe_keys.append(qbuckets ^ m)
-    probe = {}
-    for ids_, keys_ in zip(probe_rows, probe_keys):
-        for qid, key in zip(ids_.tolist(), keys_.view(np.int64).tolist()):
-            probe.setdefault(key, []).append(qid)
-    qemb = {int(q): Q[i] for i, q in enumerate(qids)}
-    probe_ref = ray.put((probe, qemb))
+    # probe table as ARRAYS (cf. knn_ivf): (bucket, query-row) pairs sorted
+    # by bucket — stable sort preserves the flip-major, qid-minor emit order
+    # the former dict-of-lists built, so the fixture stays bit-identical
+    keys_flat = np.concatenate(probe_keys).view(np.int64)
+    qrows_flat = np.tile(np.arange(len(qids), dtype=np.int64), len(probe_keys))
+    order = np.argsort(keys_flat, kind="stable")
+    probe_ref = ray.put({
+        "keys": keys_flat[order], "qrows": qrows_flat[order],
+        "qids": qids, "Qu": _unit(Q),
+    })
 
     def bucket_scorer(g: pa.Table) -> pa.Table:
-        # plain task fn: the probe map is plasma-mapped per worker (~µs)
-        probe_m, qemb_m = ray.get(probe_ref)
+        # plain task fn: the probe table is plasma-mapped per worker (~µs)
+        p = ray.get(probe_ref)
         key = int(g.column("ann_bucket")[0].as_py())
-        qids_here = probe_m.get(key, [])
-        if not qids_here:
+        lo, hi = np.searchsorted(p["keys"], [key, key + 1])
+        if lo == hi:
             return _EMPTY_LOCAL
+        qrows = p["qrows"][lo:hi]
         X = _unit(_emb_matrix(g, emb_col))     # flat-buffer gather, no stack
         ids = g.column(id_col).to_numpy()
-        Qm = _unit(np.stack([qemb_m[q] for q in qids_here]))
-        return _score_candidates(ids, X, Qm,
-                                 np.asarray(qids_here, np.int64), k)
+        return _score_candidates(ids, X, p["Qu"][qrows], p["qids"][qrows], k)
 
     local = bucketed.groupby("ann_bucket").map_groups(
         bucket_scorer, batch_format="pyarrow", num_cpus=1)
