@@ -91,6 +91,47 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
     return hist.groupby(group_col).map_groups(finish, batch_format="pyarrow")
 
 
+def grouped_mode(ds, group_col: str, value_col: str):
+    """Exact per-group MODE of an int64 value column, deterministic
+    tie-break (highest count, then LOWEST value — matching ``QUALIFY
+    row_number() OVER (ORDER BY cnt DESC, value ASC) = 1``).
+
+    Same scale shape as :func:`grouped_quantiles`: per-batch partial
+    collapse of duplicate (group, value) pairs, distributed histogram
+    groupby, then one vectorized lexsort per group over DISTINCT values
+    only.  Returns ``(group_col, mode_value int64, mode_count int64)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t.column(group_col).to_pandas(),
+            "v": t.column(value_col).to_numpy().astype(np.int64),
+        })
+        out = df.groupby(["g", "v"], as_index=False, sort=False).size()
+        return pa.table({
+            group_col: pa.array(out.g),
+            value_col: pa.array(out.v.to_numpy(), pa.int64()),
+            "cnt": pa.array(out["size"].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, value_col])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def finish(g: pa.Table) -> pa.Table:
+        v = g.column(value_col).to_numpy().astype(np.int64)
+        c = g.column("cnt").to_numpy().astype(np.int64)
+        best = np.lexsort((v, -c))[0]
+        return pa.table({
+            group_col: g.column(group_col)[:1],
+            "mode_value": pa.array([int(v[best])], pa.int64()),
+            "mode_count": pa.array([int(c[best])], pa.int64()),
+        })
+
+    return hist.groupby(group_col).map_groups(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ HLL ----
 #: HLL bias constant alpha_m for m >= 128 registers
 def _alpha(m: int) -> float:

@@ -1246,6 +1246,36 @@ FROM vu GROUP BY event_type
 """
 
 
+def q_lang_mode_chars(sf_dir: str):
+    """Exact per-language MODE of document length (``ops.agg.grouped_mode``:
+    distributed histogram + one lexsort per group over distinct values;
+    deterministic tie-break highest-count-then-lowest-value)."""
+    from cutwed_ray.ops.agg import grouped_mode
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t.column("lang"),
+            "n_chars": pa.array(
+                t.column("n_chars").to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return grouped_mode(ds.map_batches(prep, batch_format="pyarrow"),
+                        "lang", "n_chars")
+
+
+SQL_LANG_MODE_CHARS = """
+WITH h AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS n_chars, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, n_chars AS mode_value, cnt AS mode_count FROM h
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY cnt DESC, n_chars ASC) = 1
+"""
+
+
 def q_customers_no_orders(sf_dir: str):
     """ANTI join: customers that never placed a 1-URGENT order
     (``ops.joins.key_filter_join`` — the right side is FILTERED then
@@ -1314,6 +1344,7 @@ QUERIES = {
     "events_asof_order": q_events_asof_order,
     "events_prev_hour": q_events_prev_hour,
     "events_value_quantiles": q_events_value_quantiles,
+    "lang_mode_chars": q_lang_mode_chars,
     "customers_no_orders": q_customers_no_orders,
     "knn_bruteforce": q_knn_bruteforce,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1394,6 +1425,7 @@ ORACLE = {
     "events_asof_order": SQL_EVENTS_ASOF_ORDER,
     "events_prev_hour": SQL_EVENTS_PREV_HOUR,
     "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
+    "lang_mode_chars": SQL_LANG_MODE_CHARS,
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

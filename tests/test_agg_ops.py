@@ -67,6 +67,22 @@ def test_grouped_quantiles_dataset(ray_session):
         assert row.q90 == s[int(np.ceil(0.9 * n)) - 1]
 
 
+def test_grouped_mode_dataset(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.agg import grouped_mode
+
+    rng = np.random.RandomState(17)
+    g = rng.choice(["a", "b"], size=400)
+    v = rng.randint(0, 20, size=400).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "v": v})).repartition(6)
+    out = grouped_mode(ds, "g", "v").to_pandas().sort_values("g")
+    for _, row in out.iterrows():
+        vals, cnts = np.unique(v[g == row.g], return_counts=True)
+        best = np.lexsort((vals, -cnts))[0]
+        assert row.mode_value == vals[best] and row.mode_count == cnts[best]
+
+
 # ------------------------------------------------------------------------ HLL
 def test_hll_registers_merge_property():
     """Register arrays are mergeable: regs(A ∪ B) == max(regs(A), regs(B))."""
