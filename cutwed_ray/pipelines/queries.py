@@ -1246,6 +1246,60 @@ FROM vu GROUP BY event_type
 """
 
 
+def q_top_tokens(sf_dir: str):
+    """Corpus-wide heavy hitters: top-25 whitespace tokens by count —
+    the canonical wide-shuffle wordcount.  Per-batch Arrow split +
+    value_counts collapses each batch to its distinct tokens (the
+    combiner; shuffle rows = distinct tokens per batch, not token
+    occurrences), a distributed groupby sums, and sort+limit takes the
+    head.  Deterministic tie-break: count DESC, token ASC."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t.column("text"))))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({
+            "token": vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("token")
+             .aggregate(Sum("cnt", alias_name="n_occurrences")))
+
+    def local_head(t: pa.Table) -> pa.Table:
+        # counts are GLOBAL after the groupby, so a per-block top-25 is a
+        # correct pre-filter: the final sort sees <= 25 x n_blocks rows,
+        # never the whole vocabulary
+        c = t.column("n_occurrences").to_numpy().astype(np.int64)
+        tok = t.column("token").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -c))[:25]
+        sel = pa.array(np.sort(order), pa.int64())
+        return pa.table({
+            "token": t.column("token").take(sel),
+            "n_occurrences": pa.array(c[np.sort(order)], pa.int64()),
+        })
+
+    return (agg.map_batches(local_head, batch_format="pyarrow")
+               .sort(["n_occurrences", "token"], descending=[True, False])
+               .limit(25))
+
+
+SQL_TOP_TOKENS = r"""
+SELECT tok AS token, count(*) AS n_occurrences FROM (
+  SELECT unnest(regexp_split_to_array(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+  FROM documents
+  WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+)
+GROUP BY tok ORDER BY n_occurrences DESC, token ASC LIMIT 25
+"""
+
+
 def q_lang_mode_chars(sf_dir: str):
     """Exact per-language MODE of document length (``ops.agg.grouped_mode``:
     distributed histogram + one lexsort per group over distinct values;
@@ -1344,6 +1398,7 @@ QUERIES = {
     "events_asof_order": q_events_asof_order,
     "events_prev_hour": q_events_prev_hour,
     "events_value_quantiles": q_events_value_quantiles,
+    "top_tokens": q_top_tokens,
     "lang_mode_chars": q_lang_mode_chars,
     "customers_no_orders": q_customers_no_orders,
     "knn_bruteforce": q_knn_bruteforce,
@@ -1425,6 +1480,7 @@ ORACLE = {
     "events_asof_order": SQL_EVENTS_ASOF_ORDER,
     "events_prev_hour": SQL_EVENTS_PREV_HOUR,
     "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
+    "top_tokens": SQL_TOP_TOKENS,
     "lang_mode_chars": SQL_LANG_MODE_CHARS,
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
