@@ -1246,6 +1246,40 @@ FROM vu GROUP BY event_type
 """
 
 
+def q_docs_split_counts(sf_dir: str):
+    """Deterministic train/val/test split assignment (hash of doc_id, no
+    RNG — ``ops.sampling.hash_split``) summarized as per-(lang, split)
+    counts + char sums.  Fixture-oracled: the splitmix64 hash is not
+    ANSI-SQL-expressible, but the assignment is a pure function of the
+    input ids, invariant to parallelism and block layout."""
+    from ray.data.aggregate import Sum
+
+    from cutwed_ray.ops.sampling import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["lang", "split"], as_index=False).agg(
+            n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+        df["n_docs"] = df.n_docs.astype(np.int64)
+        df["sum_chars"] = df.sum_chars.astype(np.int64)
+        return _pt(df)
+
+    return (hash_split(ds, "doc_id")
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "split"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_chars", alias_name="sum_chars"))
+            .map_batches(lambda t: pa.table({
+                "lang": t.column("lang"),
+                "split": t.column("split"),
+                "n_docs": pa.array(
+                    t.column("n_docs").to_numpy().astype(np.int64), pa.int64()),
+                "sum_chars": pa.array(
+                    t.column("sum_chars").to_numpy().astype(np.int64), pa.int64()),
+            }), batch_format="pyarrow"))
+
+
 def q_top_tokens(sf_dir: str):
     """Corpus-wide heavy hitters: top-25 whitespace tokens by count —
     the canonical wide-shuffle wordcount.  Per-batch Arrow split +
@@ -1414,6 +1448,7 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "embedding_kmeans": q_embedding_kmeans,
     "approx_user_counts": q_approx_user_counts,
+    "docs_split_counts": q_docs_split_counts,
     "twed_pairs_documents": q_twed_pairs_documents,
     "twed_topk_neighbors": q_twed_topk_neighbors,
     "er_clusters_documents": q_er_clusters_documents,
@@ -1440,6 +1475,7 @@ FIXTURE_ORACLES: dict[str, list[str]] = {
     "knn_ivf": ["query_id", "rank"],
     "embedding_kmeans": ["vec_id"],
     "approx_user_counts": ["event_type"],
+    "docs_split_counts": ["lang", "split"],
     "twed_pairs_documents": ["id_a", "id_b"],
     "twed_topk_neighbors": ["row_id", "rank"],
     "er_clusters_documents": ["path"],

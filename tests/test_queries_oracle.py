@@ -85,7 +85,7 @@ def test_oracle_parity(contract, oracle_con, name):
 
 ROWS_ONLY = ["minhash_near_dup", "simhash_near_dup", "embedding_near_dup",
              "langid", "fingerprint", "knn_lsh", "knn_ivf",
-             "approx_user_counts",
+             "approx_user_counts", "docs_split_counts",
              "twed_pairs_documents", "twed_topk_neighbors",
              "er_clusters_documents", "link_documents", "media_features"]
 
