@@ -1,0 +1,99 @@
+"""Distributed per-key ordered window primitives: lag-delta and running sum.
+
+The reference engine (cuTWED) exposes no relational window surface; these
+are engine-natives a replacement data platform needs alongside the temporal
+joins (SURVEY.md §2.6).  Shape: LAG(col) OVER (PARTITION BY key ORDER BY t)
+and SUM(v) OVER (PARTITION BY key ORDER BY t ROWS UNBOUNDED PRECEDING) —
+the two window classes a feature-engineering pipeline hits first
+(inter-arrival gaps, running totals).
+
+Ray-Data-first design (same partitioning contract as ops/joins.py):
+
+- shuffle key is a COARSE key-hash bucket (stages.cluster.coarse_buckets →
+  bucket count tracks cluster CPUs), so each ``map_groups`` call windows
+  ~1/nb of all keys in ONE vectorized pass — no per-key micro-groups;
+- inside a bucket: one stable lexsort by (key, t, tiebreak), then numpy
+  shift masked at key changes (lag) or a C-level pandas grouped cumsum
+  (running sum) — no Python row loops;
+- only the projected output columns ride the shuffle (light rows);
+- a key hotter than one bucket's budget lands in a single group — the
+  documented limit shared with asof_join/range_agg_join; salt upstream if
+  a key exceeds a worker's heap.
+
+Null keys / times are rejected (ValueError), not silently mangled: NaN
+round-trips through int64 are undefined garbage (see ops/joins._as_int64).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _time_i64(s: pd.Series, what: str) -> np.ndarray:
+    """Order/delta column -> int64 (timestamps become epoch MICROseconds)."""
+    if s.isna().any():
+        raise ValueError(f"window {what} column has nulls; drop or route "
+                         "null rows explicitly before windowing")
+    a = s.to_numpy()
+    if np.issubdtype(a.dtype, np.datetime64):
+        return a.astype("datetime64[us]").astype(np.int64)
+    return a.astype(np.int64, copy=False)
+
+
+def _bucketize(ds, key: str):
+    from cutwed_ray.pipelines.queries import _key_bucket
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        k = t.column(key)
+        if k.null_count:
+            raise ValueError(f"window key column {key!r} has nulls")
+        return t.append_column(
+            "_wbkt", pa.array(_key_bucket(k.to_numpy()), pa.int32()))
+
+    return ds.map_batches(add_bkt, batch_format="pyarrow")
+
+
+def lag_delta(ds, *, key: str, time: str, tiebreak: str,
+              cols: list[str], out_col: str = "gap"):
+    """Per row: int64 delta of ``time`` to the SAME key's previous row in
+    (time, tiebreak) order.  INNER semantics: each key's first row (no
+    predecessor) is dropped, so the output is all-int64 non-null.
+    Timestamps are differenced in exact epoch-microseconds.
+    """
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, time, tiebreak], kind="stable")
+        t = _time_i64(g[time], "time")
+        same = g[key].to_numpy()
+        has_prev = np.zeros(len(g), dtype=bool)
+        has_prev[1:] = same[1:] == same[:-1]
+        delta = np.zeros(len(g), dtype=np.int64)
+        delta[1:] = t[1:] - t[:-1]
+        out = g.loc[has_prev, cols].reset_index(drop=True)
+        out[out_col] = delta[has_prev]
+        return out
+
+    return (_bucketize(ds, key).groupby("_wbkt")
+            .map_groups(lag_bucket, batch_format="pandas"))
+
+
+def running_sum(ds, *, key: str, time: str, tiebreak: str, value: str,
+                cols: list[str], out_col: str = "running"):
+    """Per row: cumulative int64 sum of ``value`` over the SAME key's rows
+    up to and including this one, in (time, tiebreak) order — the
+    ``ROWS UNBOUNDED PRECEDING`` running total.  ``value`` must already be
+    an exact integer unit (cents / micros) per the repo's FP convention.
+    """
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, time, tiebreak], kind="stable")
+        _time_i64(g[time], "time")          # null check only
+        v = g[value]
+        if v.isna().any():
+            raise ValueError(f"window value column {value!r} has nulls")
+        out = g[cols].reset_index(drop=True)
+        out[out_col] = (g.groupby(key, sort=False)[value]
+                         .cumsum().to_numpy().astype(np.int64))
+        return out
+
+    return (_bucketize(ds, key).groupby("_wbkt")
+            .map_groups(run_bucket, batch_format="pandas"))

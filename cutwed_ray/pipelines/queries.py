@@ -909,6 +909,61 @@ GROUP BY a.event_id, a.user_id
 """
 
 
+def q_events_lag_delta(sf_dir: str):
+    """Per-key LAG window (ops/window.lag_delta): for each event with a
+    predecessor, the exact-microsecond gap to the SAME user's previous
+    event in (ts, event_id) order — the inter-arrival-time feature.
+    Inner semantics (each user's first event dropped) keep the output
+    all-int64 non-null."""
+    from cutwed_ray.ops.window import lag_delta
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return lag_delta(ev, key="user_id", time="ts", tiebreak="event_id",
+                     cols=["event_id", "user_id"], out_col="gap_micros")
+
+
+SQL_EVENTS_LAG_DELTA = """
+WITH lagged AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events)
+SELECT event_id, user_id, CAST(gap AS BIGINT) AS gap_micros
+FROM lagged WHERE gap IS NOT NULL
+"""
+
+
+def q_events_user_cumsum(sf_dir: str):
+    """Per-key running total (ops/window.running_sum): each event's
+    cumulative value (exact integer micros) over the SAME user's events up
+    to and including it, in (ts, event_id) order — the
+    ``ROWS UNBOUNDED PRECEDING`` window every feature store needs."""
+    from cutwed_ray.ops.window import running_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def micros(t: pa.Table) -> pa.Table:
+        vm = np.floor(t.column("value").to_numpy() * 1_000_000 + 0.5
+                      ).astype(np.int64)
+        return (t.drop_columns(["value"])
+                 .append_column("value_micros", pa.array(vm, pa.int64())))
+
+    return running_sum(
+        ev.map_batches(micros, batch_format="pyarrow"),
+        key="user_id", time="ts", tiebreak="event_id",
+        value="value_micros", cols=["event_id", "user_id"],
+        out_col="run_value_micros")
+
+
+SQL_EVENTS_USER_CUMSUM = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_value_micros
+FROM events
+"""
+
+
 # ----------------------------------------------------------------------- ANN
 KNN_QUERY_IDS = list(range(8))
 KNN_K = 5
@@ -1408,6 +1463,28 @@ def q_approx_user_counts(sf_dir: str):
     return hll_distinct(ds, "event_type", "user_id", p=12)
 
 
+def q_docs_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample (ops/sampling.stratified_sample):
+    10 pseudo-random documents per language — k smallest
+    ``(knuth_hash(doc_id), doc_id)`` per group, reproducible at every
+    parallelism and replicable by the ANSI-SQL oracle.  Per-block partial
+    top-k keeps the shuffle at <= k x langs x blocks light rows."""
+    from cutwed_ray.ops.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(ds, "lang", "doc_id", k=10)
+
+
+SQL_DOCS_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents)
+WHERE rn <= 10
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "exact_cluster": q_exact_cluster,
@@ -1431,10 +1508,13 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_asof_order": q_events_asof_order,
     "events_prev_hour": q_events_prev_hour,
+    "events_lag_delta": q_events_lag_delta,
+    "events_user_cumsum": q_events_user_cumsum,
     "events_value_quantiles": q_events_value_quantiles,
     "top_tokens": q_top_tokens,
     "lang_mode_chars": q_lang_mode_chars,
     "customers_no_orders": q_customers_no_orders,
+    "docs_stratified_sample": q_docs_stratified_sample,
     "knn_bruteforce": q_knn_bruteforce,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -1515,10 +1595,13 @@ ORACLE = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof_order": SQL_EVENTS_ASOF_ORDER,
     "events_prev_hour": SQL_EVENTS_PREV_HOUR,
+    "events_lag_delta": SQL_EVENTS_LAG_DELTA,
+    "events_user_cumsum": SQL_EVENTS_USER_CUMSUM,
     "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
     "top_tokens": SQL_TOP_TOKENS,
     "lang_mode_chars": SQL_LANG_MODE_CHARS,
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
+    "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_near_dup_exact": SQL_EMBEDDING_NEAR_DUP_EXACT,

@@ -71,8 +71,10 @@ SQL_CHECKED = ["exact_dedup", "exact_cluster", "block_counts", "token_counts",
                "event_type_users", "supplier_region_revenue",
                "events_hourly", "events_hopping", "events_type_stats",
                "events_sessions", "events_asof_order", "events_prev_hour",
+               "events_lag_delta", "events_user_cumsum",
                "events_value_quantiles", "lang_mode_chars", "top_tokens",
-               "customers_no_orders",
+               "customers_no_orders", "repetition_signals",
+               "docs_stratified_sample",
                "knn_bruteforce", "ngram_jaccard", "embedding_near_dup_exact"]
 
 

@@ -41,6 +41,39 @@ def test_hash_split_disjoint_and_complete(ray_session):
     assert df.doc_id.nunique() == 2000      # every row exactly once
 
 
+def test_stratified_sample_matches_brute_force(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cutwed_ray.ops.sampling import stratified_sample
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(np.arange(100, 100 + n)).astype(np.int64),
+        "lang": rng.choice(["en", "de", "fr", "zz"], n),
+    })
+    k = 7
+    got = (stratified_sample(rd.from_pandas(df).repartition(9),
+                             "lang", "doc_id", k=k)
+           .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True))
+
+    bf = df.copy()
+    bf["h"] = (bf.doc_id * np.int64(2654435761)) % np.int64(1 << 32)
+    bf = bf.sort_values(["lang", "h", "doc_id"], kind="stable")
+    bf["rank"] = bf.groupby("lang", sort=False).cumcount() + 1
+    bf = bf[bf["rank"] <= k].sort_values(["lang", "rank"])
+    assert got.lang.tolist() == bf.lang.tolist()
+    assert got.doc_id.tolist() == bf.doc_id.tolist()
+    assert got["rank"].tolist() == bf["rank"].tolist()
+
+    # layout invariance: different block count, identical pick
+    again = (stratified_sample(rd.from_pandas(df).repartition(2),
+                               "lang", "doc_id", k=k)
+             .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True))
+    assert again.doc_id.tolist() == got.doc_id.tolist()
+
+
 def test_sample_fraction_deterministic_subset(ray_session):
     import ray.data as rd
 

@@ -1,0 +1,99 @@
+"""ops/window.py: lag_delta / running_sum vs a pandas brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events(n=400, keys=13, seed=7):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, keys, n).astype(np.int64),
+        # coarse ts with deliberate (user, ts) ties to exercise the tiebreak
+        "ts": rng.integers(0, 50, n).astype(np.int64) * 60_000_000,
+        "v": rng.integers(-5, 100, n).astype(np.int64),
+    })
+    return df
+
+
+def _brute_lag(df):
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    out = []
+    for _, g in df.groupby("user_id", sort=False):
+        t = g.ts.to_numpy()
+        for i in range(1, len(g)):
+            out.append((g.event_id.iloc[i], g.user_id.iloc[i],
+                        int(t[i] - t[i - 1])))
+    return pd.DataFrame(out, columns=["event_id", "user_id", "gap"])
+
+
+def _brute_cumsum(df):
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    rows = []
+    for _, g in df.groupby("user_id", sort=False):
+        acc = 0
+        for _, r in g.iterrows():
+            acc += int(r.v)
+            rows.append((r.event_id, r.user_id, acc))
+    return pd.DataFrame(rows, columns=["event_id", "user_id", "running"])
+
+
+def _canon(df):
+    return (df.sort_values(list(df.columns)).reset_index(drop=True)
+              .astype({c: np.int64 for c in df.columns}))
+
+
+def test_lag_delta_matches_brute_force(ray_session):
+    import ray.data as rd
+    from cutwed_ray.ops.window import lag_delta
+
+    df = _events()
+    got = lag_delta(rd.from_pandas(df).repartition(7),
+                    key="user_id", time="ts", tiebreak="event_id",
+                    cols=["event_id", "user_id"], out_col="gap").to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(_brute_lag(df)))
+
+
+def test_lag_delta_timestamp_micros(ray_session):
+    """datetime64 time columns are differenced in exact epoch-us."""
+    import ray.data as rd
+    from cutwed_ray.ops.window import lag_delta
+
+    df = pd.DataFrame({
+        "event_id": np.int64([1, 2, 3]),
+        "user_id": np.int64([5, 5, 5]),
+        "ts": pd.to_datetime(["2024-01-01 00:00:00.000001",
+                              "2024-01-01 00:00:00.000004",
+                              "2024-01-01 00:00:01.000004"]),
+    })
+    got = lag_delta(rd.from_pandas(df), key="user_id", time="ts",
+                    tiebreak="event_id", cols=["event_id"],
+                    out_col="gap").to_pandas().sort_values("event_id")
+    assert got.gap.tolist() == [3, 1_000_000]
+
+
+def test_running_sum_matches_brute_force(ray_session):
+    import ray.data as rd
+    from cutwed_ray.ops.window import running_sum
+
+    df = _events(seed=11)
+    got = running_sum(rd.from_pandas(df).repartition(5),
+                      key="user_id", time="ts", tiebreak="event_id",
+                      value="v", cols=["event_id", "user_id"],
+                      out_col="running").to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(_brute_cumsum(df)))
+
+
+def test_window_rejects_nulls(ray_session):
+    import ray.data as rd
+    from cutwed_ray.ops.window import lag_delta
+
+    t = pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                  "user_id": pa.array([1, None], pa.int64()),
+                  "ts": pa.array([10, 20], pa.int64())})
+    ds = lag_delta(rd.from_arrow(t), key="user_id", time="ts",
+                   tiebreak="event_id", cols=["event_id"])
+    with pytest.raises(Exception, match="null"):
+        ds.materialize()
