@@ -160,7 +160,9 @@ def run_bench() -> dict:
                      "events_prev_hour", "knn_bruteforce", "knn_ivf",
                      "exact_dedup", "repetition_signals",
                      "embedding_kmeans", "events_value_quantiles",
-                     "customers_no_orders", "approx_user_counts"]:
+                     "customers_no_orders", "approx_user_counts",
+                     "events_lag_delta", "events_user_cumsum",
+                     "docs_stratified_sample", "top_tokens"]:
             t0 = time.time()
             out = Q.QUERIES[name](SF_DIR)
             # consume without materializing to the driver more than needed
