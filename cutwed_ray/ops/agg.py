@@ -132,6 +132,50 @@ def grouped_mode(ds, group_col: str, value_col: str):
     return hist.groupby(group_col).map_groups(finish, batch_format="pyarrow")
 
 
+def global_quantile_disc(ds, value_col: str, q: float) -> int:
+    """Exact global ``quantile_disc(value, q)`` of an int64 column.
+
+    Same distributed-histogram shape as :func:`grouped_quantiles` with a
+    single implicit group: per-batch partials collapse duplicate values,
+    a distributed groupby sums counts (rows = DISTINCT values, not input
+    rows), and the driver pulls only the histogram — bounded by the value
+    domain, never the corpus (token/char counts, integer-unit scores).
+    Use as the sketch phase of a quantile-threshold filter: two bounded
+    executions beat one unbounded one (CLAUDE.md round-4 rule)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy().astype(np.int64)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table({value_col: pa.array(vals, pa.int64()),
+                         "cnt": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(value_col)
+              .aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+    v = hist[value_col].to_numpy().astype(np.int64)
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    return quantile_disc_from_hist(v[order], c[order], (q,))[0]
+
+
+def quantile_threshold_filter(ds, value_col: str, q: float, cols: list[str]):
+    """Keep rows whose ``value_col`` >= the column's exact global
+    ``quantile_disc(q)`` — the percentile-gated quality filter (e.g. "top
+    decile by length/score").  Phase 1 computes the threshold via the
+    distributed histogram (driver receives one histogram, bounded by the
+    value domain); phase 2 is a stateless broadcast-threshold
+    ``map_batches`` filter, so the corpus itself streams."""
+    thresh = global_quantile_disc(ds, value_col, q)
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy().astype(np.int64)
+        return t.filter(pa.array(v >= thresh)).select(cols)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ HLL ----
 #: HLL bias constant alpha_m for m >= 128 registers
 def _alpha(m: int) -> float:

@@ -1463,6 +1463,25 @@ def q_approx_user_counts(sf_dir: str):
     return hll_distinct(ds, "event_type", "user_id", p=12)
 
 
+def q_docs_top_decile_chars(sf_dir: str):
+    """Percentile-gated quality filter (ops/agg.quantile_threshold_filter):
+    documents in the top decile by length — phase 1 computes the exact
+    global quantile_disc(0.9) threshold from a distributed value
+    histogram (driver pulls the histogram, bounded by the value domain),
+    phase 2 streams the corpus through a broadcast-threshold filter."""
+    from cutwed_ray.ops.agg import quantile_threshold_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return quantile_threshold_filter(ds, "n_chars", 0.9,
+                                     ["doc_id", "n_chars"])
+
+
+SQL_DOCS_TOP_DECILE_CHARS = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.9) FROM documents)
+"""
+
+
 def q_docs_stratified_sample(sf_dir: str):
     """Deterministic stratified sample (ops/sampling.stratified_sample):
     10 pseudo-random documents per language — k smallest
@@ -1515,6 +1534,7 @@ QUERIES = {
     "lang_mode_chars": q_lang_mode_chars,
     "customers_no_orders": q_customers_no_orders,
     "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_top_decile_chars": q_docs_top_decile_chars,
     "knn_bruteforce": q_knn_bruteforce,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -1602,6 +1622,7 @@ ORACLE = {
     "lang_mode_chars": SQL_LANG_MODE_CHARS,
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
+    "docs_top_decile_chars": SQL_DOCS_TOP_DECILE_CHARS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_near_dup_exact": SQL_EMBEDDING_NEAR_DUP_EXACT,

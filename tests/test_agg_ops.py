@@ -185,3 +185,29 @@ def test_key_filter_join_rejects_null_keys(ray_session):
     with pytest.raises(Exception, match="null"):
         key_filter_join(left, right, left_key="k", right_key="rk",
                         left_cols=["k", "p"]).to_pandas()
+
+
+def test_global_quantile_and_threshold_filter(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cutwed_ray.ops.agg import (global_quantile_disc,
+                                    quantile_threshold_filter)
+
+    rng = np.random.RandomState(9)
+    v = rng.randint(0, 500, size=4000).astype(np.int64)
+    ids = np.arange(4000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"id": ids, "v": v})).repartition(6)
+
+    for q in (0.5, 0.9, 0.99):
+        got = global_quantile_disc(ds, "v", q)
+        s = np.sort(v)
+        want = int(s[max(1, min(int(np.ceil(q * float(len(s)))), len(s))) - 1])
+        assert got == want, (q, got, want)
+
+    thr = global_quantile_disc(ds, "v", 0.9)
+    out = (quantile_threshold_filter(ds, "v", 0.9, ["id", "v"])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    want_df = (pd.DataFrame({"id": ids, "v": v})[v >= thr]
+               .sort_values("id").reset_index(drop=True))
+    assert out.equals(want_df)
