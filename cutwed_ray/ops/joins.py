@@ -310,9 +310,79 @@ def range_agg_join(left, right, *, left_key: str, left_time: str,
     return light.groupby("jbkt").map_groups(merge, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------- Bloom ----
+_BLOOM_SALT = 0xA0761D6478BD642F
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) int64 bit positions for each key — splitmix64 with k salts,
+    deterministic (no RNG), so filters built on different workers /
+    cluster sizes are bit-identical."""
+    from cutwed_ray.stages.hashing import splitmix64
+
+    idx = np.empty((k, len(keys)), np.int64)
+    u = keys.astype(np.uint64)
+    for i in range(k):
+        h = splitmix64(u ^ np.uint64((_BLOOM_SALT * (i + 1)) & (2**64 - 1)))
+        idx[i] = (h % np.uint64(m_bits)).astype(np.int64)
+    return idx
+
+
+def bloom_from_keys(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Packed uint64 Bloom bit array (m_bits/64 words) of one key batch."""
+    pos = _bloom_positions(keys, m_bits, k).ravel()
+    bits = np.zeros(m_bits // 64, np.uint64)
+    np.bitwise_or.at(bits, pos >> 6,
+                     np.uint64(1) << (pos & 63).astype(np.uint64))
+    return bits
+
+
+def bloom_test(keys: np.ndarray, bits: np.ndarray, k: int) -> np.ndarray:
+    """Bool mask: True where the key MAY be in the set (all k bits set);
+    False is definite absence — the one-sided guarantee the prefilter
+    relies on."""
+    m_bits = bits.shape[0] * 64
+    pos = _bloom_positions(keys, m_bits, k)
+    word = bits[pos >> 6]
+    hit = (word >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+    return hit.all(axis=0)
+
+
+def build_bloom(ds, key_col: str, m_bits: int = 1 << 21, k: int = 4
+                ) -> np.ndarray:
+    """Distributed Bloom-filter build over a key column: each batch emits
+    ONE fixed-size blob (m_bits/8 bytes) of its distinct keys' bits, a
+    single-group reduce ORs the blobs in a REMOTE task, and the driver
+    pulls only the final filter — shuffle volume O(batches x m_bits/8),
+    independent of row count (the same mergeable-sketch shape as
+    ops/agg.hll_distinct)."""
+    words = m_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.unique(_as_int64(t.column(key_col)))
+        return pa.table({
+            "g": pa.array([0], pa.int32()),
+            "blob": pa.array([bloom_from_keys(keys, m_bits, k).tobytes()],
+                             pa.binary()),
+        })
+
+    def merge(grp: pa.Table) -> pa.Table:
+        agg = np.zeros(words, np.uint64)
+        for blob in grp.column("blob").to_pylist():
+            agg |= np.frombuffer(blob, np.uint64)
+        return pa.table({"g": grp.column("g")[:1],
+                         "blob": pa.array([agg.tobytes()], pa.binary())})
+
+    row = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("g").map_groups(merge, batch_format="pyarrow")
+             .take(1))[0]
+    return np.frombuffer(row["blob"], np.uint64)
+
+
 def key_filter_join(left, right, *, left_key: str, right_key: str,
                     left_cols: list[str], anti: bool = False,
-                    n_buckets: int | None = None):
+                    n_buckets: int | None = None,
+                    bloom_bits: int | None = None, bloom_k: int = 4):
     """Distributed SEMI (``anti=False``) / ANTI (``anti=True``) join:
     emit the ``left_cols`` of left rows whose key does (not) appear in
     the right side.  Equivalent SQL: ``WHERE [NOT] EXISTS (SELECT 1 FROM
@@ -325,10 +395,24 @@ def key_filter_join(left, right, *, left_key: str, right_key: str,
     resolves all its keys with ONE sorted ``np.isin`` pass.  Key columns
     must be null-free (``_as_int64`` raises otherwise).  Hot keys cost
     one bucket, the documented coarse-bucket limit.
+
+    ``bloom_bits`` enables an EXACT-result Bloom prefilter (build via
+    :func:`build_bloom` on the right keys, broadcast once with
+    ``ray.put``): left rows whose key definitely isn't on the right are
+    resolved at the scan — DROPPED before the shuffle for SEMI (the big
+    win: only candidate rows ride the exchange), or marked definite-keep
+    and skipped by the probe for ANTI (they must reach the output anyway,
+    so the saving is probe cost, not shuffle volume).  False positives
+    only send extra candidates to the exact probe — results are
+    bit-identical to the non-bloom path (pinned in tests).
     """
+    import ray
+
     from cutwed_ray.stages.cluster import coarse_buckets
 
     nb = n_buckets or coarse_buckets()
+    bits_ref = (ray.put(build_bloom(right, right_key, bloom_bits, bloom_k))
+                if bloom_bits else None)
     lcols = list(left_cols)
     l_schema = left.schema()
     l_types = dict(zip(l_schema.names, l_schema.types))
@@ -340,10 +424,20 @@ def key_filter_join(left, right, *, left_key: str, right_key: str,
 
     def prep_left(t: pa.Table) -> pa.Table:
         k = _as_int64(t.column(left_key))
+        definite = np.zeros(len(t), np.int8)
+        if bits_ref is not None:
+            maybe = bloom_test(k, ray.get(bits_ref), bloom_k)
+            if anti:
+                definite = (~maybe).astype(np.int8)   # definite non-match
+            else:
+                t = t.filter(pa.array(maybe))         # can't match: drop now
+                k = k[maybe]
+                definite = definite[: len(t)]
         cols = {
             "jbkt": _bucket(k),
             "k": pa.array(k, pa.int64()),
             "is_left": pa.array(np.ones(len(t), np.int8), pa.int8()),
+            "df": pa.array(definite, pa.int8()),
         }
         for c in lcols:
             cols[f"L_{c}"] = t.column(c)
@@ -355,6 +449,7 @@ def key_filter_join(left, right, *, left_key: str, right_key: str,
             "jbkt": _bucket(k),
             "k": pa.array(k, pa.int64()),
             "is_left": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+            "df": pa.array(np.zeros(len(k), np.int8), pa.int8()),
         }
         for c in lcols:
             cols[f"L_{c}"] = pa.nulls(len(k), l_types[c])
@@ -367,7 +462,13 @@ def key_filter_join(left, right, *, left_key: str, right_key: str,
         k = t.column("k").to_numpy()
         isl = t.column("is_left").to_numpy().astype(bool)
         rk = np.unique(k[~isl])
-        hit = np.isin(k[isl], rk, assume_unique=False)
+        kl = k[isl]
+        hit = np.zeros(len(kl), bool)
+        if anti and bits_ref is not None:   # definite-keeps skip the probe
+            cand = ~t.column("df").to_numpy()[isl].astype(bool)
+            hit[cand] = np.isin(kl[cand], rk, assume_unique=False)
+        else:
+            hit[:] = np.isin(kl, rk, assume_unique=False)
         keep = np.flatnonzero(isl)[~hit if anti else hit]
         sel = pa.array(keep, pa.int64())
         out = {c: t.column(f"L_{c}").take(sel) for c in lcols}

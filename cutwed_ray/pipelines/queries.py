@@ -1450,6 +1450,38 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+def q_parts_never_ordered(sf_dir: str):
+    """Bloom-prefiltered distributed ANTI join (ops/joins.key_filter_join
+    with bloom_bits): parts never ordered in bulk (no lineitem with
+    quantity >= 45).  The Bloom filter of the (filtered) right keys is
+    built distributed (fixed-size mergeable blobs, one remote OR-reduce)
+    and broadcast once; left rows whose key definitely isn't on the right
+    skip the exact probe — result bit-identical to the plain path
+    (tests/test_agg_ops.py)."""
+    import pyarrow.compute as pc
+
+    from cutwed_ray.ops.joins import key_filter_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def bulk(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("l_quantity"), 45.0)) \
+                .select(["l_partkey"])
+
+    return key_filter_join(part, li.map_batches(bulk, batch_format="pyarrow"),
+                           left_key="p_partkey", right_key="l_partkey",
+                           left_cols=["p_partkey", "p_type"],
+                           anti=True, bloom_bits=1 << 20)
+
+
+SQL_PARTS_NEVER_ORDERED = """
+SELECT p_partkey, p_type FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+"""
+
+
 def q_approx_user_counts(sf_dir: str):
     """HyperLogLog approximate distinct users per event type
     (``ops.agg.hll_distinct``): one 4-KiB mergeable sketch per (batch,
@@ -1535,6 +1567,7 @@ QUERIES = {
     "customers_no_orders": q_customers_no_orders,
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_top_decile_chars": q_docs_top_decile_chars,
+    "parts_never_ordered": q_parts_never_ordered,
     "knn_bruteforce": q_knn_bruteforce,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -1623,6 +1656,7 @@ ORACLE = {
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
     "docs_top_decile_chars": SQL_DOCS_TOP_DECILE_CHARS,
+    "parts_never_ordered": SQL_PARTS_NEVER_ORDERED,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_near_dup_exact": SQL_EMBEDDING_NEAR_DUP_EXACT,

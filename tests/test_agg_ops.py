@@ -211,3 +211,40 @@ def test_global_quantile_and_threshold_filter(ray_session):
     want_df = (pd.DataFrame({"id": ids, "v": v})[v >= thr]
                .sort_values("id").reset_index(drop=True))
     assert out.equals(want_df)
+
+
+def test_bloom_prefilter_bit_parity(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.joins import key_filter_join
+
+    rng = np.random.RandomState(21)
+    lk = rng.randint(0, 2000, size=900).astype(np.int64)
+    payload = np.arange(900, dtype=np.int64)
+    rk = np.unique(rng.randint(0, 2000, size=300).astype(np.int64))
+    left = rd.from_arrow(pa.table({"k": lk, "p": payload})).repartition(5)
+    right = rd.from_arrow(pa.table({"rk": rk})).repartition(3)
+
+    for anti in (False, True):
+        plain = (key_filter_join(left, right, left_key="k", right_key="rk",
+                                 left_cols=["k", "p"], anti=anti)
+                 .to_pandas().sort_values(["k", "p"]).reset_index(drop=True))
+        bloom = (key_filter_join(left, right, left_key="k", right_key="rk",
+                                 left_cols=["k", "p"], anti=anti,
+                                 bloom_bits=1 << 12)
+                 .to_pandas().sort_values(["k", "p"]).reset_index(drop=True))
+        assert bloom.equals(plain), f"anti={anti}"
+
+
+def test_bloom_one_sided_guarantee():
+    from cutwed_ray.ops.joins import bloom_from_keys, bloom_test
+
+    rng = np.random.RandomState(4)
+    present = np.unique(rng.randint(0, 10**9, size=5000).astype(np.int64))
+    bits = bloom_from_keys(present, m_bits=1 << 16, k=4)
+    # no false negatives, ever
+    assert bloom_test(present, bits, 4).all()
+    # false-positive rate is in the expected ballpark for m/n ~ 13 bits/key
+    absent = np.arange(2 * 10**9, 2 * 10**9 + 20000, dtype=np.int64)
+    fp = bloom_test(absent, bits, 4).mean()
+    assert fp < 0.05, fp
