@@ -373,10 +373,12 @@ def build_bloom(ds, key_col: str, m_bits: int = 1 << 21, k: int = 4
         return pa.table({"g": grp.column("g")[:1],
                          "blob": pa.array([agg.tobytes()], pa.binary())})
 
-    row = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("g").map_groups(merge, batch_format="pyarrow")
-             .take(1))[0]
-    return np.frombuffer(row["blob"], np.uint64)
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("g").map_groups(merge, batch_format="pyarrow")
+              .take(1))
+    if not rows:                      # empty right side: nothing can match
+        return np.zeros(words, np.uint64)
+    return np.frombuffer(rows[0]["blob"], np.uint64)
 
 
 def key_filter_join(left, right, *, left_key: str, right_key: str,

@@ -248,3 +248,22 @@ def test_bloom_one_sided_guarantee():
     absent = np.arange(2 * 10**9, 2 * 10**9 + 20000, dtype=np.int64)
     fp = bloom_test(absent, bits, 4).mean()
     assert fp < 0.05, fp
+
+
+def test_bloom_join_empty_right(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.joins import key_filter_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                                   "p": pa.array([7, 8, 9], pa.int64())}))
+    right = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    anti = (key_filter_join(left, right, left_key="k", right_key="rk",
+                            left_cols=["k", "p"], anti=True,
+                            bloom_bits=1 << 10)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert anti.k.tolist() == [1, 2, 3]
+    semi = (key_filter_join(left, right, left_key="k", right_key="rk",
+                            left_cols=["k", "p"], bloom_bits=1 << 10)
+            .to_pandas())
+    assert len(semi) == 0
