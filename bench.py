@@ -235,8 +235,16 @@ def run_scaling() -> dict:
     pair so degraded pairs are visible in the output.
     """
     def run(ncpu: int) -> dict:
+        # scaling legs default to 2x the sf's corpus: the per-execution
+        # fixed latency (session spin-up, store build, first-touch warm-up)
+        # is scale-INDEPENDENT, so at the sf0.1 default (120k rows) it
+        # floors the hi-CPU leg's wall and understates scaling; 240k
+        # amortizes it (measured round 3/4: 4->16 median 0.64 at 120k vs
+        # 0.80 at 240k with FLAT scoring core-seconds at both sizes)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_ER_ONLY="1",
+                   GRAFT_BENCH_N=os.environ.get(
+                       "GRAFT_BENCH_N", str(2 * CORPUS_ROWS[_sf()])),
                    GRAFT_BENCH_PASSES=os.environ.get("GRAFT_BENCH_PASSES", "2"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True)
