@@ -162,7 +162,8 @@ def run_bench() -> dict:
                      "embedding_kmeans", "events_value_quantiles",
                      "customers_no_orders", "approx_user_counts",
                      "events_lag_delta", "events_user_cumsum",
-                     "docs_stratified_sample", "top_tokens"]:
+                     "docs_stratified_sample", "top_tokens",
+                     "docs_redacted", "docs_contamination"]:
             t0 = time.time()
             out = Q.QUERIES[name](SF_DIR)
             # consume without materializing to the driver more than needed

@@ -239,3 +239,34 @@ def fingerprint(batch: pa.Table, text_col: str = "text", k: int = 5,
     acc = np.bitwise_xor.reduceat(vu, run_starts)
     fps[du[run_starts]] = splitmix64(acc)
     return batch.append_column("fingerprint", pa.array(fps.view(np.int64), pa.int64()))
+
+
+def regex_redact(batch: pa.Table, rules, text_col: str = "text",
+                 out_col: str = "text_clean") -> pa.Table:
+    """Sequential vectorized regex redaction (the PII-scrub primitive).
+
+    ``rules`` is an ordered list of ``(pattern, replacement)`` pairs; each
+    pattern runs against the output of the previous rule with exactly one
+    RE2 kernel pair per rule (``count_substring_regex`` +
+    ``replace_substring_regex``) — no Python loop over rows, zero-copy in
+    from the Arrow batch.  Appends ``out_col`` (the redacted text) and
+    ``n_redactions`` (int64, total non-overlapping matches across rules,
+    counted on the text each rule actually saw — i.e. sequential
+    semantics, replayable in SQL as nested regexp_replace).
+
+    Patterns must be RE2-compatible: Arrow's regex kernels and DuckDB both
+    run RE2, so a DuckDB oracle replays the same rules exactly.  Scale:
+    stateless map_batches stage, patterns are compiled once per process by
+    Arrow's kernel cache; streams at any corpus size.
+    """
+    txt = batch.column(text_col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    total = np.zeros(len(batch), dtype=np.int64)
+    for pat, repl in rules:
+        total += pc.count_substring_regex(txt, pat).to_numpy().astype(np.int64)
+        txt = pc.replace_substring_regex(txt, pattern=pat, replacement=repl)
+    cols = {name: batch.column(name) for name in batch.column_names}
+    cols[out_col] = txt
+    cols["n_redactions"] = pa.array(total, pa.int64())
+    return pa.table(cols)

@@ -233,6 +233,98 @@ FROM g LEFT JOIN d USING (doc_id) LEFT JOIN tw USING (doc_id)
 """
 
 
+#: ordered redaction rules for q_docs_redacted (RE2 on both sides)
+REDACT_RULES = [
+    (r"\bcustomer\b", "<NAME>"),
+    (r"\b(?:key|value)\b", "<ID>"),
+]
+
+
+def q_docs_redacted(sf_dir: str):
+    """Sequential vectorized regex redaction (the PII-scrub primitive):
+    the full redacted text ships in the output, so the driver value-hash
+    compares every redacted string byte-for-byte against DuckDB's nested
+    regexp_replace — both engines run RE2."""
+    from cutwed_ray.ops.text import regex_redact
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: regex_redact(t, REDACT_RULES).select(
+            ["doc_id", "text_clean", "n_redactions"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOCS_REDACTED = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '\bcustomer\b', '<NAME>', 'g'),
+                      '\b(?:key|value)\b', '<ID>', 'g') AS text_clean,
+       CAST(len(regexp_extract_all(text, '\bcustomer\b'))
+            + len(regexp_extract_all(
+                    regexp_replace(text, '\bcustomer\b', '<NAME>', 'g'),
+                    '\b(?:key|value)\b')) AS BIGINT) AS n_redactions
+FROM documents
+"""
+
+
+def q_docs_contamination(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 20 == 0 stand in for
+    the held-out benchmark set; every other doc is flagged if it shares a
+    3-token shingle with any benchmark doc.  Broadcast membership — the
+    benchmark's distinct gram hashes are reduced per batch, collected
+    once, ray.put once; the corpus side streams (no shuffle, no join).
+    In real use corpus and benchmark are different tables; synthesizing
+    both from one table costs a second column-pruned scan of the small
+    filtered side."""
+    from cutwed_ray.ops.decontam import decontaminate
+
+    def test_side(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t.column("doc_id").to_numpy() % 20 == 0))
+
+    def train_side(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t.column("doc_id").to_numpy() % 20 != 0))
+
+    cols = ["doc_id", "text"]
+    bench = _read(sf_dir, "documents", cols).map_batches(
+        test_side, batch_format="pyarrow")
+    corpus = _read(sf_dir, "documents", cols).map_batches(
+        train_side, batch_format="pyarrow")
+    return decontaminate(corpus, bench, k=3)
+
+
+SQL_DOCS_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+         END AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([ t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   FOR i IN range(1, len(t) - 1) ])
+              ELSE [ array_to_string(list_sort(t), ' ') ] END AS s
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 20 = 0
+), hits AS (
+  SELECT c.doc_id, count(*) AS n_hits
+  FROM (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 20 <> 0) c
+  JOIN bench USING (gram) GROUP BY c.doc_id
+)
+SELECT s.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated_grams,
+       CAST(len(s.s) AS BIGINT) AS n_grams,
+       CAST(CASE WHEN COALESCE(h.n_hits, 0) >= 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+FROM sh s LEFT JOIN hits h USING (doc_id)
+WHERE s.doc_id % 20 <> 0
+"""
+
+
 def q_lang_doc_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
 
@@ -1544,6 +1636,8 @@ QUERIES = {
     "token_counts_bpe": q_token_counts_bpe,
     "text_quality": q_text_quality,
     "repetition_signals": q_repetition_signals,
+    "docs_redacted": q_docs_redacted,
+    "docs_contamination": q_docs_contamination,
     "lang_doc_stats": q_lang_doc_stats,
     "top_docs_by_chars": q_top_docs_by_chars,
     "lineitem_pricing": q_lineitem_pricing,
@@ -1633,6 +1727,8 @@ ORACLE = {
     "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
     "text_quality": SQL_TEXT_QUALITY,
     "repetition_signals": SQL_REPETITION_SIGNALS,
+    "docs_redacted": SQL_DOCS_REDACTED,
+    "docs_contamination": SQL_DOCS_CONTAMINATION,
     "lang_doc_stats": SQL_LANG_DOC_STATS,
     "top_docs_by_chars": SQL_TOP_DOCS,
     "lineitem_pricing": SQL_LINEITEM_PRICING,
