@@ -163,7 +163,8 @@ def run_bench() -> dict:
                      "customers_no_orders", "approx_user_counts",
                      "events_lag_delta", "events_user_cumsum",
                      "docs_stratified_sample", "top_tokens",
-                     "docs_redacted", "docs_contamination"]:
+                     "docs_redacted", "docs_contamination",
+                     "docs_tfidf_top3"]:
             t0 = time.time()
             out = Q.QUERIES[name](SF_DIR)
             # consume without materializing to the driver more than needed

@@ -270,3 +270,117 @@ def regex_redact(batch: pa.Table, rules, text_col: str = "text",
     cols[out_col] = txt
     cols["n_redactions"] = pa.array(total, pa.int64())
     return pa.table(cols)
+
+
+def _doc_word_tf(batch: pa.Table, text_col: str, id_col: str):
+    """Per-(doc, word) term frequencies of a batch, fully vectorized.
+
+    Returns (doc_ids_per_pair, word_codes_per_pair, tf_per_pair, vocab)
+    where word codes index into the batch-local ``vocab`` string array.
+    Tokenization matches the repo's SQL convention (trim + split on
+    whitespace runs): Arrow's split_whitespace emits empty tokens at
+    string boundaries, which are masked out.
+    """
+    txt = batch.column(text_col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    lists = pc.utf8_split_whitespace(txt)
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy().astype(np.int64)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    parent, codes = parent[keep], codes[keep]
+
+    # tf per (doc, code): one lexsort + run-length pass
+    order = np.lexsort((codes, parent))
+    d_s, c_s = parent[order], codes[order]
+    starts = np.ones(d_s.size, dtype=bool)
+    starts[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+    run_starts = np.flatnonzero(starts)
+    tf = np.diff(np.append(run_starts, d_s.size)).astype(np.int64)
+    doc_idx = d_s[run_starts]
+    ids = batch.column(id_col).to_numpy().astype(np.int64)
+    return ids[doc_idx], c_s[run_starts], tf, vocab
+
+
+def doc_freq(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Global document frequency per word: distinct-doc count, computed as
+    per-batch (word, partial df) partial aggregates + one tiny
+    ``groupby(word).sum`` shuffle (vocabulary-sized, not corpus-sized)."""
+    def partial(t: pa.Table) -> pa.Table:
+        _, codes, _, vocab = _doc_word_tf(t, text_col, id_col)
+        cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"word": vocab.take(pa.array(nz)),
+                         "df_part": pa.array(cnt[nz], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("word").aggregate(Sum("df_part", alias_name="df")))
+
+
+def tfidf_topk(ds, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id", decimals: int = 6):
+    """Top-k distinctive words per document by TF-IDF.
+
+    The canonical global-statistic broadcast pattern: the document
+    frequency table (VOCABULARY-sized — the documented small side) and
+    the corpus doc count are computed first, the DF table is collected
+    and ``ray.put`` once, then every corpus batch scores its (doc, word)
+    pairs vectorized — ``pc.index_in`` maps batch-local dictionary codes
+    into the broadcast vocab, ``tf * ln(N / df)`` in float64, and an
+    integer lexsort (doc, rounded score desc, lexical word rank) ranks
+    without any per-doc Python.  Scores are rounded to ``decimals`` on
+    BOTH the output and the ranking key so mathematically-equal products
+    (e.g. ``2*ln(x)`` vs ``ln(x^2)``) tie deterministically and break by
+    word — replayable in SQL as ``row_number() OVER (ORDER BY
+    round(tfidf, d) DESC, word)``.
+
+    Output: (id_col, word, tfidf float64, rank int64 1..k).  Docs with no
+    tokens emit no rows (matches ``unnest`` of an empty list).
+    """
+    import ray
+
+    df_tab = doc_freq(ds.select_columns([id_col, text_col]),
+                      text_col=text_col, id_col=id_col)
+    n_docs = ds.count()
+    parts = [b for b in df_tab.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)]
+    df_all = pa.concat_tables(parts) if parts else pa.table(
+        {"word": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    # sort the vocab lexically once: word RANK then equals byte order,
+    # giving an integer tie-break identical to SQL's binary collation
+    sort_idx = pc.sort_indices(df_all.column("word"))
+    vocab_sorted = df_all.column("word").take(sort_idx)
+    if isinstance(vocab_sorted, pa.ChunkedArray):
+        vocab_sorted = vocab_sorted.combine_chunks()
+    df_sorted = df_all.column("df").take(sort_idx).to_numpy().astype(np.float64)
+    store_ref = ray.put((vocab_sorted, df_sorted))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_g, df_g = ray.get(store_ref)
+        ids, codes, tf, vocab_b = _doc_word_tf(t, text_col, id_col)
+        pos = pc.index_in(vocab_b, value_set=vocab_g) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        wrank = pos[codes]                      # global lexical word rank
+        idf = np.log(np.float64(n_docs) / df_g[wrank])
+        s = np.round(tf.astype(np.float64) * idf, decimals)
+        order = np.lexsort((wrank, -s, ids))
+        ids_s, wrank_s, s_s = ids[order], wrank[order], s[order]
+        starts = np.ones(ids_s.size, dtype=bool)
+        starts[1:] = ids_s[1:] != ids_s[:-1]
+        run_id = np.cumsum(starts) - 1
+        first_of_run = np.flatnonzero(starts)
+        rank = np.arange(ids_s.size, dtype=np.int64) - first_of_run[run_id] + 1
+        m = rank <= k
+        return pa.table({
+            id_col: pa.array(ids_s[m], pa.int64()),
+            "word": vocab_g.take(pa.array(wrank_s[m])),
+            "tfidf": pa.array(s_s[m], pa.float64()),
+            "rank": pa.array(rank[m], pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -267,6 +267,51 @@ FROM documents
 """
 
 
+def q_docs_tfidf_top3(sf_dir: str):
+    """Top-3 distinctive words per doc by TF-IDF — the global-statistic
+    broadcast pattern: vocabulary-sized DF table computed by partial
+    aggregates + one tiny groupby, collected and ray.put once, then every
+    batch scores vectorized.  Scores round to 6 decimals on BOTH sides
+    (including the ranking key) so mathematically-equal products tie and
+    break deterministically by word."""
+    from cutwed_ray.ops.text import tfidf_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_topk(ds, k=3)
+
+
+SQL_DOCS_TFIDF_TOP3 = r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+         END AS ws
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(ws) AS word FROM w
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+), df AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (word), n
+), ranked AS (
+  SELECT doc_id, word, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, word) AS rnk
+  FROM scored
+)
+SELECT doc_id, word, tfidf, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 3
+"""
+
+
 def q_docs_contamination(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 20 == 0 stand in for
     the held-out benchmark set; every other doc is flagged if it shares a
@@ -1638,6 +1683,7 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "docs_redacted": q_docs_redacted,
     "docs_contamination": q_docs_contamination,
+    "docs_tfidf_top3": q_docs_tfidf_top3,
     "lang_doc_stats": q_lang_doc_stats,
     "top_docs_by_chars": q_top_docs_by_chars,
     "lineitem_pricing": q_lineitem_pricing,
@@ -1729,6 +1775,7 @@ ORACLE = {
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "docs_redacted": SQL_DOCS_REDACTED,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
+    "docs_tfidf_top3": SQL_DOCS_TFIDF_TOP3,
     "lang_doc_stats": SQL_LANG_DOC_STATS,
     "top_docs_by_chars": SQL_TOP_DOCS,
     "lineitem_pricing": SQL_LINEITEM_PRICING,

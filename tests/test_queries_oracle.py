@@ -74,7 +74,7 @@ SQL_CHECKED = ["exact_dedup", "exact_cluster", "block_counts", "token_counts",
                "events_lag_delta", "events_user_cumsum",
                "events_value_quantiles", "lang_mode_chars", "top_tokens",
                "customers_no_orders", "repetition_signals",
-               "docs_redacted", "docs_contamination",
+               "docs_redacted", "docs_contamination", "docs_tfidf_top3",
                "docs_stratified_sample", "docs_top_decile_chars",
                "parts_never_ordered",
                "knn_bruteforce", "ngram_jaccard", "embedding_near_dup_exact"]

@@ -78,3 +78,39 @@ def test_decontaminate_empty_benchmark(ray_session):
     out = decontaminate(corpus, bench).to_pandas()
     assert (out["contaminated"] == 0).all()
     assert (out["n_contaminated_grams"] == 0).all()
+
+
+def test_tfidf_topk_matches_brute_force(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from cutwed_ray.ops.text import tfidf_topk
+
+    rng = np.random.default_rng(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = [" ".join(rng.choice(vocab, rng.integers(0, 15)))
+            for _ in range(80)]
+    t = pa.table({"doc_id": list(range(80)), "text": docs})
+    out = tfidf_topk(rd.from_arrow(t).repartition(4), k=2).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+    n_docs = len(docs)
+    df = {}
+    for d in docs:
+        for wrd in set(d.split()):
+            df[wrd] = df.get(wrd, 0) + 1
+    expected = []
+    for i, d in enumerate(docs):
+        toks = d.split()
+        tf = {}
+        for wrd in toks:
+            tf[wrd] = tf.get(wrd, 0) + 1
+        scored = sorted(
+            ((round(c * math.log(n_docs / df[wrd]), 6), wrd)
+             for wrd, c in tf.items()),
+            key=lambda p: (-p[0], p[1]))
+        for r, (s, wrd) in enumerate(scored[:2], 1):
+            expected.append((i, wrd, s, r))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == expected
