@@ -164,7 +164,9 @@ def run_bench() -> dict:
                      "events_lag_delta", "events_user_cumsum",
                      "docs_stratified_sample", "top_tokens",
                      "docs_redacted", "docs_contamination",
-                     "docs_tfidf_top3"]:
+                     "docs_tfidf_top3", "lineitem_corr",
+                     "region_nation_rollup", "events_funnel",
+                     "embedding_pca2"]:
             t0 = time.time()
             out = Q.QUERIES[name](SF_DIR)
             # consume without materializing to the driver more than needed

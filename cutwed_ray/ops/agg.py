@@ -8,6 +8,11 @@
   group: a mergeable fixed-size sketch (2^p byte registers), the classic
   cardinality primitive of 100-TB pipelines where exact COUNT(DISTINCT)
   would shuffle every id.
+* :func:`grouped_corr` — exact-sufficient-statistics Pearson correlation
+  per group (integer partial sums; bit-identical to a SQL oracle that
+  evaluates the same closed form).
+* :func:`rollup_sum` — multi-level ROLLUP totals from ONE distributed
+  finest-level aggregate (subtotals derived from the small result).
 
 Both follow the repo's engine-native operator contract (SURVEY.md §2.6):
 light rows on the shuffle, vectorized per-group kernels, partitioning
@@ -174,6 +179,124 @@ def quantile_threshold_filter(ds, value_col: str, q: float, cols: list[str]):
         return t.filter(pa.array(v >= thresh)).select(cols)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_corr(ds, group_col: str, x_col: str, y_col: str):
+    """Exact-sufficient-statistics Pearson correlation per group.
+
+    ``x_col`` / ``y_col`` must already be EXACT integer units (the repo's
+    FP convention: cents / micros / whole units).  Each batch emits one
+    int64 partial row per group present in it — ``(group, n, sx, sy, sxx,
+    syy, sxy)`` — a tiny distributed groupby sums them, and the finish
+    step evaluates
+
+        corr = (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+
+    casting each exact integer sum to float64 first.  An oracle that
+    computes the SAME formula from the same HUGEINT sums in SQL produces a
+    bit-identical double (every op is a correctly-rounded IEEE primitive
+    on identical inputs) — no rounding tolerance needed.
+
+    Scale shape: shuffle volume is O(batches x groups) fixed-width rows.
+    Domain bound: int64 accumulators require n_group * max(x^2, y^2, |xy|)
+    < 2^63 (whole-dollar prices at ~1e5 allow ~7e8 rows/group); shard the
+    partials (salt the group key, merge sums) past that.
+
+    Returns ``(group_col, n_rows, sum_x, sum_y, corr float64)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t.column(group_col).to_pandas(),
+            "x": t.column(x_col).to_numpy().astype(np.int64),
+            "y": t.column(y_col).to_numpy().astype(np.int64),
+        })
+        df["xx"] = df.x * df.x
+        df["yy"] = df.y * df.y
+        df["xy"] = df.x * df.y
+        out = df.groupby("g", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"))
+        return pa.table({
+            group_col: pa.array(out.g),
+            **{c: pa.array(out[c].to_numpy().astype(np.int64), pa.int64())
+               for c in ("n", "sx", "sy", "sxx", "syy", "sxy")},
+        })
+
+    sums = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col)
+              .aggregate(*[Sum(c, alias_name=c)
+                           for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n, sx, sy, sxx, syy, sxy = (
+            t.column(c).to_numpy().astype(np.int64)
+            for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+        nf, sxf, syf = n.astype(np.float64), sx.astype(np.float64), sy.astype(np.float64)
+        sxxf, syyf, sxyf = (sxx.astype(np.float64), syy.astype(np.float64),
+                            sxy.astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = (nf * sxyf - sxf * syf) / (
+                np.sqrt(nf * sxxf - sxf * sxf) * np.sqrt(nf * syyf - syf * syf))
+        return pa.table({
+            group_col: t.column(group_col),
+            "n_rows": pa.array(n, pa.int64()),
+            "sum_x": pa.array(sx, pa.int64()),
+            "sum_y": pa.array(sy, pa.int64()),
+            "corr": pa.array(corr, pa.float64()),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def rollup_sum(ds, level_cols: list[str], value_col: str,
+               all_label: str = "ALL", count_col: str = "n_rows",
+               precombined: bool = False):
+    """Multi-level ROLLUP totals of an int64 value over a group hierarchy.
+
+    One distributed shuffle computes the FINEST level ``groupby(level_cols)
+    .sum``; every coarser level (drop the trailing key, ... , grand total)
+    is derived from that small aggregate table on the driver — subtotal
+    row count is bounded by the finest group-domain cardinality, never the
+    corpus, so this is the classic two-phase rollup (pre-aggregate wide,
+    re-aggregate narrow).  Rolled-up key slots carry the ``all_label``
+    sentinel instead of SQL NULL so the output sorts/hashes plainly
+    (oracle twin: ``GROUP BY ROLLUP`` + ``COALESCE``).
+
+    With ``precombined=True`` the input rows are already per-batch partial
+    aggregates carrying their own ``count_col`` (the repo's map-side
+    combine convention), and both columns are summed.
+
+    Returns a pyarrow Table ``(level_cols..., value_col, count_col)`` with
+    one row per finest group plus each subtotal level plus a grand total.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    aggs = [Sum(value_col, alias_name=value_col)]
+    aggs.append(Sum(count_col, alias_name=count_col) if precombined
+                else Count(alias_name=count_col))
+    finest = ds.groupby(level_cols).aggregate(*aggs).to_pandas()
+    finest[value_col] = finest[value_col].astype(np.int64)
+    finest[count_col] = finest[count_col].astype(np.int64)
+
+    levels = [finest]
+    for depth in range(len(level_cols) - 1, -1, -1):
+        keep = level_cols[:depth]
+        if keep:
+            sub = finest.groupby(keep, as_index=False)[
+                [value_col, count_col]].sum()
+        else:
+            sub = finest[[value_col, count_col]].sum().to_frame().T
+        for c in level_cols[depth:]:
+            sub[c] = all_label
+        levels.append(sub[level_cols + [value_col, count_col]])
+
+    out = pd.concat(levels, ignore_index=True)
+    out[value_col] = out[value_col].astype(np.int64)
+    out[count_col] = out[count_col].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(None)
 
 
 # ------------------------------------------------------------------ HLL ----

@@ -97,3 +97,78 @@ def running_sum(ds, *, key: str, time: str, tiebreak: str, value: str,
 
     return (_bucketize(ds, key).groupby("_wbkt")
             .map_groups(run_bucket, batch_format="pandas"))
+
+
+def funnel_counts(ds, *, key: str, type_col: str, time: str,
+                  stages: list[str]):
+    """Ordered-funnel user counts: how many keys (users) reach stage k,
+    where reaching stage k means an event of type ``stages[k]`` STRICTLY
+    after that key's earliest stage-(k-1) completion time (stage 0 is the
+    key's earliest ``stages[0]`` event).
+
+    Scale shape: rows are filtered to the funnel's event types at the
+    read, shuffled once by coarse key-hash bucket, and each bucket
+    resolves ALL its keys with len(stages) vectorized merge steps
+    (groupby-min + join + strict-after filter — no per-key loop); the
+    output is len(stages) count rows per bucket, summed by one tiny
+    groupby.  Same hot-key bound as the other window ops: one key's rows
+    live in one bucket.
+
+    Returns ``(funnel_stage string '1_<name>'.., n_keys int64)`` — one row
+    per stage, monotonically non-increasing counts.
+    """
+    from ray.data.aggregate import Sum
+
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def prep(t: pa.Table) -> pa.Table:
+        ty = t.column(type_col).to_pandas()
+        m = pd.to_numeric(ty.map(stage_of), errors="coerce") \
+            .to_numpy(dtype=np.float64)
+        keep = ~np.isnan(m)
+        k = t.column(key)
+        if k.null_count:
+            raise ValueError(f"funnel key column {key!r} has nulls")
+        kv = k.to_numpy()[keep]
+        ts = _time_i64(t.column(time).to_pandas(), "time")[keep]
+        return pa.table({
+            key: pa.array(kv, pa.int64()),
+            "_stage": pa.array(m[keep].astype(np.int8), pa.int8()),
+            "_t": pa.array(ts, pa.int64()),
+            "_wbkt": pa.array(_bucket_ids(kv), pa.int32()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cur = (g[g._stage == 0].groupby(key, as_index=False)
+               .agg(_done=("_t", "min")))
+        counts = [len(cur)]
+        for k_i in range(1, len(stages)):
+            ev = g[g._stage == k_i].merge(cur, on=key, how="inner")
+            ev = ev[ev._t > ev._done]
+            cur = ev.groupby(key, as_index=False).agg(_done=("_t", "min"))
+            counts.append(len(cur))
+        return pd.DataFrame({"_stage": np.arange(len(stages), dtype=np.int64),
+                             "n_keys": np.asarray(counts, dtype=np.int64)})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_wbkt")
+             .map_groups(per_bucket, batch_format="pandas")
+             .groupby("_stage")
+             .aggregate(Sum("n_keys", alias_name="n_keys")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        si = t.column("_stage").to_numpy().astype(np.int64)
+        return pa.table({
+            "funnel_stage": pa.array(
+                [f"{i + 1}_{stages[i]}" for i in si], pa.string()),
+            "n_keys": pa.array(t.column("n_keys").to_numpy().astype(np.int64),
+                               pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _bucket_ids(keys: np.ndarray) -> np.ndarray:
+    from cutwed_ray.pipelines.queries import _key_bucket
+
+    return _key_bucket(keys)

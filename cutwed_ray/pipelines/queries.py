@@ -1673,6 +1673,150 @@ WHERE rn <= 10
 """
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs whole-dollar
+    price via exact integer sufficient statistics
+    (``ops.agg.grouped_corr``): the engine and the oracle evaluate the
+    SAME closed form from the same exact integer sums, so the double
+    output is bit-identical — no rounding tolerance."""
+    from cutwed_ray.ops.agg import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def units(t: pa.Table) -> pa.Table:
+        x = np.floor(t.column("l_quantity").to_numpy() + 0.5).astype(np.int64)
+        y = np.floor(t.column("l_extendedprice").to_numpy()).astype(np.int64)
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    return grouped_corr(ds.map_batches(units, batch_format="pyarrow"),
+                        "l_returnflag", "x", "y")
+
+
+SQL_LINEITEM_CORR = """
+WITH u AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM u GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(sx AS BIGINT) AS sum_x,
+       CAST(sy AS BIGINT) AS sum_y,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+FROM s
+"""
+
+
+def q_region_nation_rollup(sf_dir: str):
+    """ROLLUP revenue totals by (region, nation): broadcast dim lookup +
+    per-batch map-side combine, ONE distributed finest-level groupby,
+    subtotal levels derived from the small aggregate
+    (``ops.agg.rollup_sum``).  Rolled-up slots carry the 'ALL' sentinel
+    (oracle: GROUP BY ROLLUP + COALESCE)."""
+    import ray
+
+    from cutwed_ray.ops.agg import rollup_sum
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nat.n_nationkey, nat.n_regionkey))
+    n2name = dict(zip(nat.n_nationkey, nat.n_name))
+    r2name = dict(zip(reg.r_regionkey, reg.r_name))
+    lookup_ref = ray.put({
+        k: (r2name[n2r[v]], n2name[v])
+        for k, v in zip(sup.s_suppkey, sup.s_nationkey)})
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        df = t.to_pandas()
+        rn = df.l_suppkey.map(lk)
+        df["r_name"] = rn.str[0]
+        df["n_name"] = rn.str[1]
+        df["rev_cents"] = np.floor(
+            df.l_extendedprice * (1 - df.l_discount) * 100 + 0.5
+        ).astype(np.int64)
+        g = df.groupby(["r_name", "n_name"], as_index=False).agg(
+            revenue_cents=("rev_cents", "sum"), n_rows=("rev_cents", "size"))
+        g["n_rows"] = g.n_rows.astype(np.int64)
+        return _pt(g)
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+    return rollup_sum(pre, ["r_name", "n_name"], "revenue_cents",
+                      precombined=True)
+
+
+SQL_REGION_NATION_ROLLUP = """
+SELECT COALESCE(r.r_name, 'ALL') AS r_name,
+       COALESCE(n.n_name, 'ALL') AS n_name,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered view -> click -> purchase funnel: per-user strictly-after
+    stage progression resolved in one coarse user-bucket shuffle
+    (``ops.window.funnel_counts``), counts summed by a tiny groupby."""
+    from cutwed_ray.ops.window import funnel_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return funnel_counts(ds, key="user_id", type_col="event_type",
+                         time="ts", stages=["view", "click", "purchase"])
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id)
+SELECT '1_view' AS funnel_stage, count(*) AS n_keys FROM s0
+UNION ALL SELECT '2_click', count(*) FROM s1
+UNION ALL SELECT '3_purchase', count(*) FROM s2
+"""
+
+
+def q_embedding_pca2(sf_dir: str):
+    """Distributed 2-component PCA projection of the embedding table
+    (``ops.pca.pca_project``): exact int64 moment accumulation (layout-
+    and parallelism-invariant), driver eigh of the 16x16 covariance,
+    broadcast components, streaming vectorized projection.  Fixture-
+    oracled: the quantized-moment pipeline is deterministic but not
+    ANSI-SQL-expressible."""
+    from cutwed_ray.ops.pca import pca_project
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pca_project(ds, ["vec_id"], "embedding", n_components=2)
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "exact_cluster": q_exact_cluster,
@@ -1711,6 +1855,9 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
+    "lineitem_corr": q_lineitem_corr,
+    "region_nation_rollup": q_region_nation_rollup,
+    "events_funnel": q_events_funnel,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
@@ -1727,6 +1874,7 @@ QUERIES = {
     "er_clusters_documents": q_er_clusters_documents,
     "link_documents": q_link_documents,
     "media_features": q_media_features,
+    "embedding_pca2": q_embedding_pca2,
 }
 
 #: pinned-fixture oracles (see scripts/gen_fixtures.py): valid ONLY for the
@@ -1754,6 +1902,7 @@ FIXTURE_ORACLES: dict[str, list[str]] = {
     "er_clusters_documents": ["path"],
     "link_documents": ["id_a", "id_b"],
     "media_features": ["media_id"],
+    "embedding_pca2": ["vec_id"],
 }
 _FIXTURE_DIR = "/root/repo/fixtures"
 
@@ -1803,6 +1952,9 @@ ORACLE = {
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_near_dup_exact": SQL_EMBEDDING_NEAR_DUP_EXACT,
+    "lineitem_corr": SQL_LINEITEM_CORR,
+    "region_nation_rollup": SQL_REGION_NATION_ROLLUP,
+    "events_funnel": SQL_EVENTS_FUNNEL,
 }
 
 # Deterministic but not ANSI-SQL-expressible queries (custom 64-bit token

@@ -77,7 +77,8 @@ SQL_CHECKED = ["exact_dedup", "exact_cluster", "block_counts", "token_counts",
                "docs_redacted", "docs_contamination", "docs_tfidf_top3",
                "docs_stratified_sample", "docs_top_decile_chars",
                "parts_never_ordered",
-               "knn_bruteforce", "ngram_jaccard", "embedding_near_dup_exact"]
+               "knn_bruteforce", "ngram_jaccard", "embedding_near_dup_exact",
+               "lineitem_corr", "region_nation_rollup", "events_funnel"]
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
@@ -91,7 +92,8 @@ ROWS_ONLY = ["minhash_near_dup", "simhash_near_dup", "embedding_near_dup",
              "langid", "fingerprint", "knn_lsh", "knn_ivf",
              "approx_user_counts", "docs_split_counts",
              "twed_pairs_documents", "twed_topk_neighbors",
-             "er_clusters_documents", "link_documents", "media_features"]
+             "er_clusters_documents", "link_documents", "media_features",
+             "embedding_pca2"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
