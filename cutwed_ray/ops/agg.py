@@ -13,8 +13,10 @@
   evaluates the same closed form).
 * :func:`rollup_sum` — multi-level ROLLUP totals from ONE distributed
   finest-level aggregate (subtotals derived from the small result).
+* :func:`cms_token_counts` — Count-min-sketch frequency estimates: one
+  fixed-size mergeable blob per batch, estimates from the merged sketch.
 
-Both follow the repo's engine-native operator contract (SURVEY.md §2.6):
+All follow the repo's engine-native operator contract (SURVEY.md §2.6):
 light rows on the shuffle, vectorized per-group kernels, partitioning
 assumptions documented on each function.
 """
@@ -388,3 +390,68 @@ def hll_distinct(ds, group_col: str, id_col: str, p: int = 12):
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(group_col)
               .map_groups(merge, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------------------ CMS ----
+def _cms_rows(tokens, depth: int, width: int) -> np.ndarray:
+    """(depth, N) int64 CMS column indices via Kirsch–Mitzenmacher double
+    hashing of two independent 64-bit string hashes: g_r = h1 + r·h2."""
+    from cutwed_ray.stages.hashing import hash_string_array
+
+    h1 = hash_string_array(tokens, variant=0)
+    h2 = hash_string_array(tokens, variant=1) | np.uint64(1)  # odd -> full period
+    out = np.empty((depth, len(h1)), dtype=np.int64)
+    for r in range(depth):
+        out[r] = ((h1 + np.uint64(r) * h2) % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_token_counts(ds, text_col: str, candidates: list[str],
+                     width: int = 1 << 14, depth: int = 4):
+    """Count-min-sketch frequency estimates for a candidate token list.
+
+    The streaming-frequency companion to :func:`hll_distinct`: ONE pass
+    builds a mergeable ``depth x width`` int64 sketch (each batch emits a
+    single fixed-size blob row — shuffle volume O(batches x depth x width
+    x 8 B), independent of corpus size), a single merge task sums the
+    blobs, and the estimate for each candidate is the min over its
+    ``depth`` counters.  Guarantees: est >= true count always; est <=
+    true + eps*N with prob 1-delta for eps = e/width, delta = e^-depth
+    (Cormode & Muthukrishnan 2005).  Deterministic (polynomial string
+    hashes, Kirsch–Mitzenmacher row derivation) — fixture-oracle-able.
+
+    Tokens are whitespace-split from ``text_col`` exactly like the exact
+    wordcount (`top_tokens`), so the unit test can sandwich the estimate
+    against exact counts.  Returns a pyarrow Table ``(token, est_count)``
+    over the candidates, input order preserved.
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t.column(text_col))))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        sk = np.zeros((depth, width), dtype=np.int64)
+        if len(toks):
+            rows = _cms_rows(toks, depth, width)
+            for r in range(depth):
+                np.add.at(sk[r], rows[r], 1)
+        return pa.table({
+            "_one": pa.array([0], pa.int32()),
+            "sk": pa.array([sk.tobytes()], pa.binary()),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        blobs = np.frombuffer(b"".join(g.column("sk").to_pylist()),
+                              dtype=np.int64).reshape(-1, depth * width)
+        return pa.table({"sk": pa.array([blobs.sum(axis=0).tobytes()],
+                                        pa.binary())})
+
+    row = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("_one").map_groups(merge, batch_format="pyarrow")
+             .take(1))[0]
+    sk = np.frombuffer(row["sk"], dtype=np.int64).reshape(depth, width)
+    cand = pa.array(candidates, pa.string())
+    rows = _cms_rows(cand, depth, width)
+    est = sk[np.arange(depth)[:, None], rows].min(axis=0)
+    return pa.table({"token": cand, "est_count": pa.array(est, pa.int64())})

@@ -384,3 +384,22 @@ def tfidf_topk(ds, k: int = 3, text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def json_int_field(batch: pa.Table, field: str, col: str = "props",
+                   out_col: str | None = None) -> pa.Table:
+    """Extract an integer field from a flat-JSON string column — the ELT
+    "schema-on-read" primitive for semi-structured event payloads.
+
+    Stateless vectorized stage: ONE compiled RE2 ``extract_regex`` kernel
+    per batch (Arrow caches the program), no Python row loop, no JSON
+    parser allocation per row.  Handles ``"field": <int>`` with arbitrary
+    whitespace; rows without the field (or non-integer values) yield null.
+    For nested / typed payloads at scale the same shape holds with an
+    actor-pool stage owning a real parser — this RE2 path is the fast lane
+    for the overwhelmingly common flat case.
+    """
+    pat = r'"' + field + r'"\s*:\s*(?P<v>-?\d+)'
+    ex = pc.extract_regex(batch.column(col), pattern=pat)
+    v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+    return batch.append_column(out_col or field, v)

@@ -1804,6 +1804,79 @@ UNION ALL SELECT '3_purchase', count(*) FROM s2
 """
 
 
+def q_events_props_stats(sf_dir: str):
+    """Schema-on-read over the semi-structured ``props`` JSON payload:
+    vectorized RE2 integer-field extraction (``ops.text.json_int_field``,
+    one compiled kernel per batch — no per-row JSON parse), then a
+    per-batch map-side combine and a tiny per-type groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from cutwed_ray.ops.text import json_int_field
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = json_int_field(t, "k")
+        df = t.select(["event_type", "k"]).to_pandas().dropna(subset=["k"])
+        g = df.groupby("event_type", as_index=False).agg(
+            n_with_k=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"))
+        for c in ("n_with_k", "sum_k", "min_k", "max_k"):
+            g[c] = g[c].astype(np.int64)
+        return _pt(g)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n_with_k", alias_name="n_with_k"),
+                        Sum("sum_k", alias_name="sum_k"),
+                        Min("min_k", alias_name="min_k"),
+                        Max("max_k", alias_name="max_k")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            **{c: pa.array(t.column(c).to_numpy().astype(np.int64), pa.int64())
+               for c in ("n_with_k", "sum_k", "min_k", "max_k")},
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_PROPS_STATS = r"""
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(NULLIF(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1), '')
+                  AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       count(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM x WHERE k IS NOT NULL GROUP BY event_type
+"""
+
+
+#: fixed candidate list for the CMS frequency query (drawn from the
+#: synthetic documents vocabulary; the estimate is defined for ANY token,
+#: absent ones estimate near 0)
+CMS_CANDIDATES = ["table", "value", "key", "row", "hash",
+                  "merge", "scan", "sort", "batch", "join"]
+
+
+def q_approx_token_freq(sf_dir: str):
+    """Count-min-sketch token-frequency estimates for a fixed candidate
+    list (``ops.agg.cms_token_counts``): one mergeable depth x width blob
+    per batch, single merge task, min-over-rows estimate.  Deterministic
+    (polynomial string hashes) -> fixture-oracled; the unit test
+    sandwiches the estimate against exact counts (est >= exact,
+    est <= exact + eps*N)."""
+    from cutwed_ray.ops.agg import cms_token_counts
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return cms_token_counts(ds, "text", CMS_CANDIDATES)
+
+
 def q_embedding_pca2(sf_dir: str):
     """Distributed 2-component PCA projection of the embedding table
     (``ops.pca.pca_project``): exact int64 moment accumulation (layout-
@@ -1858,6 +1931,7 @@ QUERIES = {
     "lineitem_corr": q_lineitem_corr,
     "region_nation_rollup": q_region_nation_rollup,
     "events_funnel": q_events_funnel,
+    "events_props_stats": q_events_props_stats,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
@@ -1875,6 +1949,7 @@ QUERIES = {
     "link_documents": q_link_documents,
     "media_features": q_media_features,
     "embedding_pca2": q_embedding_pca2,
+    "approx_token_freq": q_approx_token_freq,
 }
 
 #: pinned-fixture oracles (see scripts/gen_fixtures.py): valid ONLY for the
@@ -1903,6 +1978,7 @@ FIXTURE_ORACLES: dict[str, list[str]] = {
     "link_documents": ["id_a", "id_b"],
     "media_features": ["media_id"],
     "embedding_pca2": ["vec_id"],
+    "approx_token_freq": ["token"],
 }
 _FIXTURE_DIR = "/root/repo/fixtures"
 
@@ -1955,6 +2031,7 @@ ORACLE = {
     "lineitem_corr": SQL_LINEITEM_CORR,
     "region_nation_rollup": SQL_REGION_NATION_ROLLUP,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_props_stats": SQL_EVENTS_PROPS_STATS,
 }
 
 # Deterministic but not ANSI-SQL-expressible queries (custom 64-bit token

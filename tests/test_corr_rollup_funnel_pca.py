@@ -151,3 +151,51 @@ def test_pca_project_matches_direct_numpy(ray_session):
     assert np.allclose(got, expect, atol=2e-6)
     # descending variance
     assert got[:, 0].var() >= got[:, 1].var()
+
+
+def test_json_int_field_extraction():
+    from cutwed_ray.ops.text import json_int_field
+
+    t = pa.table({"props": ['{"k": 69}', '{"k":-3}', '{"j": 1}', None,
+                            '{"k": 7, "j": 2}']})
+    out = json_int_field(t, "k")
+    assert out.column("k").to_pylist() == [69, -3, None, None, 7]
+    assert out.schema.field("k").type == pa.int64()
+
+
+def test_cms_sandwiches_exact_counts(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.agg import cms_token_counts
+
+    rng = np.random.RandomState(13)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = [" ".join(np.array(vocab)[rng.randint(0, 50, 30)])
+            for _ in range(200)]
+    ds = rd.from_arrow(pa.table({"text": docs})).repartition(4)
+    candidates = vocab[:10] + ["absent_token"]
+    out = cms_token_counts(ds, "text", candidates, width=1 << 12, depth=4) \
+        .to_pandas()
+
+    exact = pd.Series(" ".join(docs).split()).value_counts()
+    n_total = 200 * 30
+    eps_n = int(np.e / (1 << 12) * n_total) + 1
+    for _, row in out.iterrows():
+        true = int(exact.get(row.token, 0))
+        assert row.est_count >= true          # CMS never undercounts
+        assert row.est_count <= true + eps_n  # and overcounts are bounded
+    assert out.token.tolist() == candidates   # input order preserved
+
+
+def test_cms_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.agg import cms_token_counts
+
+    docs = [f"a b c d{i % 7}" for i in range(100)]
+    outs = []
+    for parts in (1, 5):
+        ds = rd.from_arrow(pa.table({"text": docs})).repartition(parts)
+        outs.append(cms_token_counts(ds, "text", ["a", "d3"], width=256,
+                                     depth=3).to_pandas())
+    assert outs[0].equals(outs[1])

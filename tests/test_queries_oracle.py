@@ -78,7 +78,8 @@ SQL_CHECKED = ["exact_dedup", "exact_cluster", "block_counts", "token_counts",
                "docs_stratified_sample", "docs_top_decile_chars",
                "parts_never_ordered",
                "knn_bruteforce", "ngram_jaccard", "embedding_near_dup_exact",
-               "lineitem_corr", "region_nation_rollup", "events_funnel"]
+               "lineitem_corr", "region_nation_rollup", "events_funnel",
+               "events_props_stats"]
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
@@ -93,7 +94,7 @@ ROWS_ONLY = ["minhash_near_dup", "simhash_near_dup", "embedding_near_dup",
              "approx_user_counts", "docs_split_counts",
              "twed_pairs_documents", "twed_topk_neighbors",
              "er_clusters_documents", "link_documents", "media_features",
-             "embedding_pca2"]
+             "embedding_pca2", "approx_token_freq"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
