@@ -392,6 +392,19 @@ def hll_distinct(ds, group_col: str, id_col: str, p: int = 12):
               .map_groups(merge, batch_format="pyarrow"))
 
 
+def _merge_bucket(blob: bytes) -> int:
+    """Deterministic level-1 tree-merge bucket for a mergeable-sketch blob:
+    content-hash modulo the cluster-tracking bucket count.  ANY grouping
+    is correct (the merged sums are associative); the hash only spreads
+    blobs across parallel fold tasks."""
+    import hashlib
+
+    from cutwed_ray.stages.cluster import coarse_buckets
+
+    return int.from_bytes(hashlib.blake2b(blob, digest_size=4).digest(),
+                          "little") % coarse_buckets()
+
+
 # ------------------------------------------------------------------ CMS ----
 def _cms_rows(tokens, depth: int, width: int) -> np.ndarray:
     """(depth, N) int64 CMS column indices via Kirsch–Mitzenmacher double
@@ -413,9 +426,9 @@ def cms_token_counts(ds, text_col: str, candidates: list[str],
     The streaming-frequency companion to :func:`hll_distinct`: ONE pass
     builds a mergeable ``depth x width`` int64 sketch (each batch emits a
     single fixed-size blob row — shuffle volume O(batches x depth x width
-    x 8 B), independent of corpus size), a single merge task sums the
-    blobs, and the estimate for each candidate is the min over its
-    ``depth`` counters.  Guarantees: est >= true count always; est <=
+    x 8 B), independent of corpus size), a two-level tree merge sums the
+    blobs (no task receives O(n_batches) blobs), and the estimate for
+    each candidate is the min over its ``depth`` counters.  Guarantees: est >= true count always; est <=
     true + eps*N with prob 1-delta for eps = e/width, delta = e^-depth
     (Cormode & Muthukrishnan 2005).  Deterministic (polynomial string
     hashes, Kirsch–Mitzenmacher row derivation) — fixture-oracle-able.
@@ -437,18 +450,24 @@ def cms_token_counts(ds, text_col: str, candidates: list[str],
             for r in range(depth):
                 np.add.at(sk[r], rows[r], 1)
         return pa.table({
-            "_one": pa.array([0], pa.int32()),
+            "_mrg": pa.array([_merge_bucket(sk.tobytes())], pa.int32()),
             "sk": pa.array([sk.tobytes()], pa.binary()),
         })
 
     def merge(g: pa.Table) -> pa.Table:
         blobs = np.frombuffer(b"".join(g.column("sk").to_pylist()),
                               dtype=np.int64).reshape(-1, depth * width)
-        return pa.table({"sk": pa.array([blobs.sum(axis=0).tobytes()],
+        return pa.table({"_mrg": pa.array([0], pa.int32()),
+                         "sk": pa.array([blobs.sum(axis=0).tobytes()],
                                         pa.binary())})
 
+    # two-level tree merge: level 1 folds ~n_batches blobs in parallel
+    # tasks (bucket = content hash — any grouping is fine, int sums are
+    # associative), level 2 folds the <= coarse_buckets() survivors; no
+    # single task ever receives O(n_batches) blobs.
     row = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("_one").map_groups(merge, batch_format="pyarrow")
+             .groupby("_mrg").map_groups(merge, batch_format="pyarrow")
+             .groupby("_mrg").map_groups(merge, batch_format="pyarrow")
              .take(1))[0]
     sk = np.frombuffer(row["sk"], dtype=np.int64).reshape(depth, width)
     cand = pa.array(candidates, pa.string())

@@ -11,8 +11,8 @@ The 100-TB shape of PCA is the same two-phase pattern as the repo's other
   components) is bit-identical at any CPU count / block layout, which is
   what lets a pinned fixture oracle the output (cf. ops/kmeans.py's
   fixed-point Lloyd).  Each batch emits ONE fixed-width moment row
-  (8 + 8*dim + 8*dim^2 bytes); a single map_groups merge task folds them
-  so the driver pulls one row, never the corpus.
+  (8 + 8*dim + 8*dim^2 bytes); a two-level tree merge folds them, so no
+  task — and not the driver — ever receives O(n_batches) rows.
 * **project**: eigendecomposition of the dim x dim covariance runs on the
   driver (16x16 here — microseconds), the component matrix ships by
   closure (a few hundred bytes), and the projection is a stateless
@@ -42,14 +42,17 @@ def _quantize(t: pa.Table, emb_col: str, scale: float) -> np.ndarray:
 def fit_moments(ds, emb_col: str, scale: float = 1e6):
     """One streaming pass -> exact int64 ``(n, s[dim], ss[dim, dim])``."""
     def partial(t: pa.Table) -> pa.Table:
+        from cutwed_ray.ops.agg import _merge_bucket
+
         q = _quantize(t, emb_col, scale)
         ss = q.T @ q  # int64 matmul, exact
+        blob = ss.tobytes()
         return pa.table({
-            "_one": pa.array([0], pa.int32()),
+            "_mrg": pa.array([_merge_bucket(blob)], pa.int32()),
             "n": pa.array([len(q)], pa.int64()),
             "dim": pa.array([q.shape[1]], pa.int64()),
             "s": pa.array([q.sum(axis=0).tobytes()], pa.binary()),
-            "ss": pa.array([ss.tobytes()], pa.binary()),
+            "ss": pa.array([blob], pa.binary()),
         })
 
     def merge(g: pa.Table) -> pa.Table:
@@ -60,14 +63,19 @@ def fit_moments(ds, emb_col: str, scale: float = 1e6):
         ss_rows = np.frombuffer(b"".join(g.column("ss").to_pylist()),
                                 dtype=np.int64).reshape(-1, dim * dim)
         return pa.table({
+            "_mrg": pa.array([0], pa.int32()),
             "n": pa.array([n], pa.int64()),
             "dim": pa.array([dim], pa.int64()),
             "s": pa.array([s_rows.sum(axis=0).tobytes()], pa.binary()),
             "ss": pa.array([ss_rows.sum(axis=0).tobytes()], pa.binary()),
         })
 
+    # two-level tree merge (see ops/agg.py::_merge_bucket): level 1 folds
+    # moment rows in parallel, level 2 folds the survivors — the single
+    # final task never receives O(n_batches) rows.
     row = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("_one").map_groups(merge, batch_format="pyarrow")
+             .groupby("_mrg").map_groups(merge, batch_format="pyarrow")
+             .groupby("_mrg").map_groups(merge, batch_format="pyarrow")
              .take(1))[0]
     dim = int(row["dim"])
     n = int(row["n"])

@@ -1867,7 +1867,7 @@ CMS_CANDIDATES = ["table", "value", "key", "row", "hash",
 def q_approx_token_freq(sf_dir: str):
     """Count-min-sketch token-frequency estimates for a fixed candidate
     list (``ops.agg.cms_token_counts``): one mergeable depth x width blob
-    per batch, single merge task, min-over-rows estimate.  Deterministic
+    per batch, two-level tree merge, min-over-rows estimate.  Deterministic
     (polynomial string hashes) -> fixture-oracled; the unit test
     sandwiches the estimate against exact counts (est >= exact,
     est <= exact + eps*N)."""
