@@ -167,7 +167,8 @@ def run_bench() -> dict:
                      "docs_tfidf_top3", "lineitem_corr",
                      "region_nation_rollup", "events_funnel",
                      "embedding_pca2", "events_props_stats",
-                     "approx_token_freq"]:
+                     "approx_token_freq", "docs_pack_stats",
+                     "events_type_pivot", "events_value_outliers"]:
             t0 = time.time()
             out = Q.QUERIES[name](SF_DIR)
             # consume without materializing to the driver more than needed

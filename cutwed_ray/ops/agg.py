@@ -301,6 +301,129 @@ def rollup_sum(ds, level_cols: list[str], value_col: str,
         .replace_schema_metadata(None)
 
 
+def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
+                 prefix: str = "c_", total_col: str = "n_rows"):
+    """Wide per-key category-count pivot: one row per key with an int64
+    count column per category plus the key's total — the conditional-
+    aggregation (``COUNT(*) FILTER (WHERE cat = ...)``) pivot every
+    feature store materializes.
+
+    ``categories`` is the FIXED output column dictionary; at scale learn
+    it first with a tiny distinct aggregate (the domain is the category
+    cardinality, never the corpus) — a static dictionary keeps the output
+    schema deterministic.  Unknown category values raise rather than
+    silently dropping rows.
+
+    Scale shape: each batch scatters into a (keys-in-batch x n_cats)
+    int64 matrix (``np.add.at`` — no Python row loop) and emits one
+    partial WIDE row per key in the batch, so the shuffle carries
+    pre-combined fixed-width rows; one distributed groupby sums them.
+    """
+    from ray.data.aggregate import Sum
+
+    cats = list(categories)
+    out_cols = [prefix + c for c in cats] + [total_col]
+    cat_idx = {c: i for i, c in enumerate(cats)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy()
+        ci = t.column(cat_col).to_pandas().map(cat_idx)
+        if ci.isna().any():
+            bad = t.column(cat_col).to_pandas()[ci.isna()].unique()[:5]
+            raise ValueError(f"pivot saw categories outside the dictionary: "
+                             f"{list(bad)}")
+        codes = ci.to_numpy(dtype=np.int64)
+        uk, kc = np.unique(k, return_inverse=True)
+        mat = np.zeros((len(uk), len(cats)), dtype=np.int64)
+        np.add.at(mat, (kc, codes), 1)
+        return pa.table({
+            key_col: pa.array(uk.astype(np.int64), pa.int64()),
+            **{prefix + c: pa.array(mat[:, i], pa.int64())
+               for i, c in enumerate(cats)},
+            total_col: pa.array(mat.sum(axis=1), pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_col)
+             .aggregate(*[Sum(c, alias_name=c) for c in out_cols]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: pa.array(t.column(key_col).to_numpy()
+                              .astype(np.int64), pa.int64()),
+            **{c: pa.array(t.column(c).to_numpy().astype(np.int64),
+                           pa.int64()) for c in out_cols},
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def zscore_outliers(ds, group_col: str, value_col: str, cols: list[str],
+                    z: float = 2.0):
+    """Per-group z-score outlier filter: keep rows whose ``value_col``
+    falls OUTSIDE ``mean ± z·std`` of their group — the distribution-
+    based anomaly gate a data-quality pipeline runs per source/type.
+
+    Exact-sufficient-statistics oracle technique (see :func:`grouped_corr`
+    / CLAUDE.md): ``value_col`` must already be an exact integer unit;
+    phase 1 folds exact int64 ``(n, sum, sumsq)`` per group (per-batch
+    partials + one tiny groupby — the driver pulls one row per group),
+    and BOTH this engine and the SQL oracle evaluate the SAME closed-form
+    float64 expression tree over those sums::
+
+        mean = s/n;  sd = sqrt((n*q - s*s) / (n*n));  keep v > mean + z*sd
+                                                        or v < mean - z*sd
+
+    Every step is a correctly-rounded IEEE primitive on identical exact
+    inputs, so the thresholds — and therefore the kept row SETS — are
+    bit-identical with no rounding tolerance.  Phase 2 is a stateless
+    broadcast-threshold streaming filter.
+
+    Domain bound: int64 ``sumsq`` needs ``n_group * max(v)^2 < 2^63`` and
+    the float64 tree needs ``q < 2^53`` (centi-units at |v| <= ~1e4 allow
+    ~1e6 rows/group; drop to deci-units or shard-and-HUGEINT past that).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t.column(group_col).to_pandas(),
+            "v": t.column(value_col).to_numpy().astype(np.int64),
+        })
+        df["vv"] = df.v * df.v
+        out = df.groupby("g", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), q=("vv", "sum"))
+        return pa.table({
+            group_col: pa.array(out.g),
+            **{c: pa.array(out[c].to_numpy().astype(np.int64), pa.int64())
+               for c in ("n", "s", "q")},
+        })
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(group_col)
+               .aggregate(*[Sum(c, alias_name=c) for c in ("n", "s", "q")])
+               .to_pandas())
+    n = stats["n"].to_numpy().astype(np.int64).astype(np.float64)
+    s = stats["s"].to_numpy().astype(np.int64).astype(np.float64)
+    q = stats["q"].to_numpy().astype(np.int64).astype(np.float64)
+    with np.errstate(invalid="ignore"):
+        mean = s / n
+        sd = np.sqrt((n * q - s * s) / (n * n))
+    zf = np.float64(z)
+    lo_of = {g: m - zf * d for g, m, d in zip(stats[group_col], mean, sd)}
+    hi_of = {g: m + zf * d for g, m, d in zip(stats[group_col], mean, sd)}
+
+    def keep(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_pandas()
+        lo = g.map(lo_of).to_numpy(dtype=np.float64)
+        hi = g.map(hi_of).to_numpy(dtype=np.float64)
+        v = t.column(value_col).to_numpy().astype(np.int64) \
+             .astype(np.float64)
+        return t.filter(pa.array((v > hi) | (v < lo))).select(cols)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ HLL ----
 #: HLL bias constant alpha_m for m >= 128 registers
 def _alpha(m: int) -> float:

@@ -1890,6 +1890,127 @@ def q_embedding_pca2(sf_dir: str):
     return pca_project(ds, ["vec_id"], "embedding", n_components=2)
 
 
+#: token budget for the sequence-packing query (a typical pretraining
+#: context length; the op is budget-agnostic)
+PACK_BUDGET = 2048
+
+
+def q_docs_pack_stats(sf_dir: str):
+    """Token-budget sequence packing (``ops.packing.pack_stats``): docs
+    concatenated in doc_id order, the token stream cut every PACK_BUDGET
+    tokens, each doc assigned to the pack its first token lands in
+    (exclusive global prefix sum // budget — the distributed-scan
+    primitive), then one tiny groupby to per-pack (n_docs, pack_tokens).
+    The light (doc_id, n_tokens) projection is materialized once because
+    the scan executes its input three times."""
+    from cutwed_ray.ops.packing import pack_stats
+    from cutwed_ray.ops.text import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    light = ds.map_batches(
+        lambda t: token_count(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow").materialize()
+    return pack_stats(light, order_col="doc_id", tokens_col="n_tokens",
+                      budget=PACK_BUDGET)
+
+
+SQL_DOCS_PACK_STATS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+              ELSE length(regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+         END AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM toks)
+SELECT CAST(excl // 2048 AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM cum GROUP BY pack_id
+"""
+
+
+#: fixed category dictionary for the events pivot (at scale, learn it
+#: with a tiny distinct aggregate first — the domain is the category
+#: cardinality, never the corpus)
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_type_pivot(sf_dir: str):
+    """Wide per-user event-type count pivot (``ops.agg.pivot_counts``):
+    one row per user with an int64 count per event type plus the total —
+    conditional aggregation with map-side combine (each batch emits one
+    pre-summed wide row per user present in it)."""
+    from cutwed_ray.ops.agg import pivot_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_counts(ev, "user_id", "event_type", EVENT_TYPES,
+                        total_col="n_events")
+
+
+SQL_EVENTS_TYPE_PIVOT = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS c_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS c_error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS c_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS c_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS c_view,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_value_outliers(sf_dir: str):
+    """Per-type z-score anomaly gate (``ops.agg.zscore_outliers``): keep
+    events whose centi-unit value falls outside mean ± 2·std of their
+    event type.  Exact int64 (n, sum, sumsq) sufficient statistics; both
+    engine and oracle evaluate the identical float64 threshold tree, so
+    the kept row sets are bit-identical (grouped_corr technique)."""
+    from cutwed_ray.ops.agg import zscore_outliers
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def centi(t: pa.Table) -> pa.Table:
+        vc = np.floor(t.column("value").to_numpy() * 100 + 0.5
+                      ).astype(np.int64)
+        return (t.drop_columns(["value"])
+                 .append_column("value_centi", pa.array(vc, pa.int64())))
+
+    return zscore_outliers(
+        ev.map_batches(centi, batch_format="pyarrow"),
+        "event_type", "value_centi",
+        cols=["event_id", "event_type", "value_centi"], z=2.0)
+
+
+SQL_EVENTS_VALUE_OUTLIERS = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_centi
+  FROM events),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(value_centi) AS BIGINT) AS s,
+         CAST(SUM(value_centi * value_centi) AS BIGINT) AS q
+  FROM v GROUP BY event_type),
+t AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sd
+  FROM s)
+SELECT v.event_id, v.event_type, v.value_centi
+FROM v JOIN t USING (event_type)
+WHERE CAST(v.value_centi AS DOUBLE) > t.mean + 2.0 * t.sd
+   OR CAST(v.value_centi AS DOUBLE) < t.mean - 2.0 * t.sd
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "exact_cluster": q_exact_cluster,
@@ -1932,6 +2053,9 @@ QUERIES = {
     "region_nation_rollup": q_region_nation_rollup,
     "events_funnel": q_events_funnel,
     "events_props_stats": q_events_props_stats,
+    "docs_pack_stats": q_docs_pack_stats,
+    "events_type_pivot": q_events_type_pivot,
+    "events_value_outliers": q_events_value_outliers,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
@@ -2032,6 +2156,9 @@ ORACLE = {
     "region_nation_rollup": SQL_REGION_NATION_ROLLUP,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_props_stats": SQL_EVENTS_PROPS_STATS,
+    "docs_pack_stats": SQL_DOCS_PACK_STATS,
+    "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
+    "events_value_outliers": SQL_EVENTS_VALUE_OUTLIERS,
 }
 
 # Deterministic but not ANSI-SQL-expressible queries (custom 64-bit token

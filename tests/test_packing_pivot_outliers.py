@@ -1,0 +1,152 @@
+"""Unit tests for ops.packing (global ordered prefix-scan, sequence
+packing), ops.agg.pivot_counts and ops.agg.zscore_outliers.
+
+The oracle-parity test (test_queries_oracle.py) pins the DuckDB match for
+the shipped queries; these carry the independent verification load —
+brute-force twins on random inputs, parallelism invariance, and the
+error paths (duplicate scan keys, unknown pivot categories, nulls)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _scan_df(ds) -> pd.DataFrame:
+    return ds.to_pandas().sort_values("k").reset_index(drop=True)
+
+
+def test_ordered_prefix_sum_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.packing import ordered_prefix_sum
+
+    rng = np.random.RandomState(5)
+    for parts in (1, 7):
+        k = rng.permutation(2000).astype(np.int64)          # shuffled order
+        v = rng.randint(0, 400, size=2000).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"k": k, "v": v})).repartition(parts)
+        got = _scan_df(ordered_prefix_sum(
+            ds, order_col="k", value_col="v", cols=["k", "v"],
+            out_col="cum"))
+        order = np.argsort(k, kind="stable")
+        want = np.concatenate(([0], np.cumsum(v[order])[:-1]))
+        assert (got["cum"].to_numpy() == want).all()
+        assert (got["v"].to_numpy() == v[order]).all()
+
+
+def test_ordered_prefix_sum_sparse_skewed_keys(ray_session):
+    """Non-dense key domain (big gaps, one far outlier) still scans
+    correctly — range buckets may be uneven but never wrong."""
+    import ray.data as rd
+
+    from cutwed_ray.ops.packing import ordered_prefix_sum
+
+    k = np.array([3, 5, 9, 1_000_000, 2_000_000_000], dtype=np.int64)
+    v = np.array([10, 20, 30, 40, 50], dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"k": k, "v": v})).repartition(3)
+    got = _scan_df(ordered_prefix_sum(
+        ds, order_col="k", value_col="v", cols=["k", "v"], out_col="cum"))
+    assert got["cum"].tolist() == [0, 10, 30, 60, 100]
+
+
+def test_ordered_prefix_sum_duplicate_keys_raise(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.packing import ordered_prefix_sum
+
+    ds = rd.from_arrow(pa.table({"k": [1, 1, 2], "v": [1, 2, 3]}))
+    with pytest.raises(Exception, match="duplicate"):
+        ordered_prefix_sum(ds, order_col="k", value_col="v",
+                           cols=["k"], out_col="cum").materialize()
+
+
+def test_pack_stats_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.packing import pack_stats
+
+    rng = np.random.RandomState(9)
+    k = rng.permutation(500).astype(np.int64)
+    v = rng.randint(1, 300, size=500).astype(np.int64)
+    budget = 1000
+    ds = rd.from_arrow(pa.table({"k": k, "v": v})).repartition(5)
+    got = (pack_stats(ds, order_col="k", tokens_col="v", budget=budget)
+           .to_pandas().sort_values("pack_id").reset_index(drop=True))
+
+    order = np.argsort(k, kind="stable")
+    excl = np.concatenate(([0], np.cumsum(v[order])[:-1]))
+    pid = excl // budget
+    want = (pd.DataFrame({"pack_id": pid, "v": v[order]})
+            .groupby("pack_id", as_index=False)
+            .agg(n_docs=("v", "size"), pack_tokens=("v", "sum")))
+    assert got["pack_id"].tolist() == want["pack_id"].tolist()
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    assert got["pack_tokens"].tolist() == want["pack_tokens"].tolist()
+    # every pack starts within budget of its boundary: first doc of pack p
+    # has exclusive cumsum in [p*budget, (p+1)*budget)
+    assert (got["pack_id"].to_numpy()
+            == np.arange(got["pack_id"].iloc[0],
+                         got["pack_id"].iloc[0] + len(got))).all()
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.agg import pivot_counts
+
+    rng = np.random.RandomState(13)
+    cats = ["a", "b", "c"]
+    k = rng.randint(0, 40, size=800).astype(np.int64)
+    c = rng.choice(cats, size=800)
+    ds = rd.from_arrow(pa.table({"k": k, "cat": c})).repartition(6)
+    got = (pivot_counts(ds, "k", "cat", cats, total_col="n")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = pd.crosstab(pd.Series(k, name="k"), pd.Series(c, name="cat")) \
+        .reindex(columns=cats, fill_value=0)
+    for cat in cats:
+        assert (got[f"c_{cat}"].to_numpy()
+                == want[cat].to_numpy().astype(np.int64)).all()
+    assert (got["n"].to_numpy()
+            == want.sum(axis=1).to_numpy().astype(np.int64)).all()
+
+
+def test_pivot_counts_unknown_category_raises(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.agg import pivot_counts
+
+    ds = rd.from_arrow(pa.table({"k": [1, 2], "cat": ["a", "zz"]}))
+    with pytest.raises(Exception, match="outside the dictionary"):
+        pivot_counts(ds, "k", "cat", ["a", "b"]).materialize()
+
+
+def test_zscore_outliers_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.agg import zscore_outliers
+
+    rng = np.random.RandomState(17)
+    g = rng.choice(["x", "y"], size=1000)
+    v = rng.randint(0, 10_000, size=1000).astype(np.int64)
+    # plant unmistakable outliers
+    v[:3] = 1_000_000
+    ds = rd.from_arrow(pa.table({"id": np.arange(1000, dtype=np.int64),
+                                 "g": g, "v": v})).repartition(4)
+    got = (zscore_outliers(ds, "g", "v", cols=["id", "g", "v"], z=2.0)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    df = pd.DataFrame({"id": np.arange(1000), "g": g, "v": v})
+    keep = []
+    for grp, sub in df.groupby("g"):
+        n = np.float64(len(sub))
+        s = np.float64(sub.v.sum())
+        q = np.float64((sub.v.astype(object) ** 2).sum())
+        mean = s / n
+        sd = np.sqrt((n * q - s * s) / (n * n))
+        vv = sub.v.to_numpy().astype(np.float64)
+        keep.append(sub[(vv > mean + 2.0 * sd) | (vv < mean - 2.0 * sd)])
+    want = pd.concat(keep).sort_values("id").reset_index(drop=True)
+    assert got["id"].tolist() == want["id"].tolist()
+    assert set(got["id"][:0]) == set()          # schema sanity
+    assert {0, 1, 2} <= set(got["id"])          # planted outliers caught

@@ -79,7 +79,8 @@ SQL_CHECKED = ["exact_dedup", "exact_cluster", "block_counts", "token_counts",
                "parts_never_ordered",
                "knn_bruteforce", "ngram_jaccard", "embedding_near_dup_exact",
                "lineitem_corr", "region_nation_rollup", "events_funnel",
-               "events_props_stats"]
+               "events_props_stats", "docs_pack_stats", "events_type_pivot",
+               "events_value_outliers"]
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
