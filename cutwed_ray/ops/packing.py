@@ -47,14 +47,19 @@ def _nn_i64(t: pa.Table, col: str) -> np.ndarray:
 
 
 def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
-                       cols: list[str], out_col: str = "cum_excl"):
+                       cols: list[str], out_col: str = "cum_excl",
+                       tiebreak: str | None = None):
     """Append the EXCLUSIVE prefix sum of ``value_col`` in global ascending
-    ``order_col`` order (``SUM(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
-    PRECEDING AND 1 PRECEDING)``, first row 0).
+    ``(order_col[, tiebreak])`` order (``SUM(v) OVER (ORDER BY k ROWS
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``, first row 0).
 
-    ``order_col`` must be unique (duplicates would make the scan
-    order-dependent; each bucket verifies and raises) and ``value_col``
-    an exact integer unit per the repo's FP convention.
+    The order must be unique — ``order_col`` alone, or the
+    ``(order_col, tiebreak)`` pair when a tiebreak is given (duplicates
+    would make the scan order-dependent; each bucket verifies and
+    raises).  Range buckets are derived from ``order_col`` only, so equal
+    primary keys always land in the SAME bucket and the tiebreak never
+    crosses a bucket boundary.  ``value_col`` must be an exact integer
+    unit per the repo's FP convention.
     """
     from ray.data.aggregate import Max, Min, Sum
 
@@ -90,14 +95,24 @@ def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
     offs = np.concatenate(([0], np.cumsum(offs)[:-1]))   # exclusive, per bucket
 
     def add_bkt(t: pa.Table) -> pa.Table:
+        if tiebreak and t.column(tiebreak).null_count:
+            raise ValueError(f"prefix-scan tiebreak column {tiebreak!r} "
+                             "has nulls")
         return t.append_column(
             "_b", pa.array(bucket_of(_nn_i64(t, order_col)), pa.int32()))
 
+    sort_cols = [order_col] + ([tiebreak] if tiebreak else [])
+
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col, kind="stable")
-        k = g[order_col].to_numpy()
-        if len(g) and (k[1:] == k[:-1]).any():
-            raise ValueError(f"duplicate {order_col!r} keys; the global "
+        g = g.sort_values(sort_cols, kind="stable")
+        dup = np.ones(0, dtype=bool)
+        if len(g) > 1:
+            dup = np.ones(len(g) - 1, dtype=bool)
+            for c in sort_cols:
+                k = g[c].to_numpy()
+                dup &= k[1:] == k[:-1]
+        if dup.any():
+            raise ValueError(f"duplicate {sort_cols} keys; the global "
                              "scan order would be ambiguous")
         v = g[value_col].to_numpy().astype(np.int64)
         out = g[cols].reset_index(drop=True)
@@ -106,6 +121,27 @@ def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
 
     return (ds.map_batches(add_bkt, batch_format="pyarrow")
               .groupby("_b").map_groups(scan_bucket, batch_format="pandas"))
+
+
+def global_rank(ds, *, order_col: str, tiebreak: str, cols: list[str],
+                out_col: str = "rank"):
+    """Append each row's 0-based GLOBAL rank in ascending
+    ``(order_col, tiebreak)`` order — ``ROW_NUMBER() OVER (ORDER BY k, t)
+    - 1`` without a global sort: ranking is the prefix scan of ones, so
+    it inherits :func:`ordered_prefix_sum`'s shape (O(buckets) driver
+    bytes, one vectorized pass per range bucket) instead of an
+    all-to-all sort of the corpus.  The (order, tiebreak) pair must be
+    unique.  Feed a LIGHT projection and materialize nontrivial upstream
+    compute — the scan executes its input three times.
+    """
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_one", pa.array(np.ones(len(t), dtype=np.int64), pa.int64()))
+
+    return ordered_prefix_sum(
+        ds.map_batches(ones, batch_format="pyarrow"),
+        order_col=order_col, value_col="_one", cols=cols,
+        out_col=out_col, tiebreak=tiebreak)
 
 
 def pack_stats(ds, *, order_col: str, tokens_col: str, budget: int,

@@ -99,6 +99,46 @@ def running_sum(ds, *, key: str, time: str, tiebreak: str, value: str,
             .map_groups(run_bucket, batch_format="pandas"))
 
 
+def latest_per_key(ds, *, key: str, order_cols: list[str],
+                   cols: list[str]):
+    """Keep each key's LAST row by lexicographic ``order_cols`` —
+    streaming compaction / SCD-1 upsert resolution (``ROW_NUMBER() OVER
+    (PARTITION BY key ORDER BY ... DESC) = 1``), the "current state per
+    entity" materialization every CDC/event-log pipeline runs.
+
+    Scale shape: a MAP-SIDE COMBINE first — each batch reduces to at most
+    one candidate row per key present in it (one vectorized stable sort +
+    ``drop_duplicates(keep='last')``), so the shuffle carries
+    O(keys x batches) combined candidates, never the event rows; the
+    coarse key-bucket reduce then replays the same pick per bucket.
+    Ties across the full ``order_cols`` list resolve to an arbitrary
+    tied row — pass a unique final tiebreak (e.g. the event id) for
+    determinism, as the oracle's ROW_NUMBER does.
+    """
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        for c in [key] + order_cols:
+            if g[c].isna().any():
+                raise ValueError(f"latest_per_key column {c!r} has nulls")
+        g = g.sort_values([key] + order_cols, kind="stable")
+        return g.drop_duplicates(subset=[key], keep="last")[cols] \
+                .reset_index(drop=True)
+
+    def combine_batch(t: pa.Table) -> pa.Table:
+        out = combine(t.select(sorted(set([key] + order_cols + cols))
+                               ).to_pandas())
+        k = out[key].to_numpy()
+        out["_wbkt"] = _bucket_ids(k)
+        from cutwed_ray.pipelines.queries import _pt
+        return _pt(out)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return combine(g)
+
+    return (ds.map_batches(combine_batch, batch_format="pyarrow")
+              .groupby("_wbkt")
+              .map_groups(reduce_bucket, batch_format="pandas"))
+
+
 def funnel_counts(ds, *, key: str, type_col: str, time: str,
                   stages: list[str]):
     """Ordered-funnel user counts: how many keys (users) reach stage k,

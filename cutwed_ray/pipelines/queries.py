@@ -2011,6 +2011,79 @@ WHERE CAST(v.value_centi AS DOUBLE) > t.mean + 2.0 * t.sd
 """
 
 
+def q_events_latest_per_user(sf_dir: str):
+    """Per-entity current-state compaction (``ops.window.latest_per_key``):
+    each user's latest event by (ts, event_id) — the CDC/upsert
+    resolution.  Map-side combine first: each batch reduces to one
+    candidate per user before the shuffle."""
+    from cutwed_ray.ops.window import latest_per_key
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return latest_per_key(ev, key="user_id", order_cols=["ts", "event_id"],
+                          cols=["event_id", "user_id", "ts", "event_type"])
+
+
+SQL_EVENTS_LATEST_PER_USER = """
+SELECT event_id, user_id, ts, event_type
+FROM events
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_cust_spend_rank(sf_dir: str):
+    """Global customer-spend leaderboard (``ops.packing.global_rank``):
+    exact per-customer order spend (cents) via one distributed groupby,
+    then the 0-based global rank in (spend, custkey) order via the
+    prefix-scan primitive — ROW_NUMBER semantics WITHOUT an all-to-all
+    sort of the corpus (O(buckets) driver bytes).  The light
+    (custkey, spend) aggregate is materialized once because the scan
+    executes its input three times."""
+    from ray.data.aggregate import Sum
+
+    from cutwed_ray.ops.packing import global_rank
+
+    od = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.floor(t.column("o_totalprice").to_numpy() * 100 + 0.5
+                     ).astype(np.int64)
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "spend_cents": pa.array(c, pa.int64()),
+        })
+
+    spend = (od.map_batches(cents, batch_format="pyarrow")
+               .groupby("o_custkey")
+               .aggregate(Sum("spend_cents", alias_name="spend_cents")))
+
+    def as_i64(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pa.array(t.column("o_custkey").to_numpy()
+                                  .astype(np.int64), pa.int64()),
+            "spend_cents": pa.array(t.column("spend_cents").to_numpy()
+                                    .astype(np.int64), pa.int64()),
+        })
+
+    light = spend.map_batches(as_i64, batch_format="pyarrow").materialize()
+    return global_rank(light, order_col="spend_cents", tiebreak="o_custkey",
+                       cols=["o_custkey", "spend_cents"],
+                       out_col="spend_rank")
+
+
+SQL_CUST_SPEND_RANK = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS spend_cents
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, spend_cents,
+       CAST(ROW_NUMBER() OVER (ORDER BY spend_cents, o_custkey) - 1
+            AS BIGINT) AS spend_rank
+FROM spend
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "exact_cluster": q_exact_cluster,
@@ -2056,6 +2129,8 @@ QUERIES = {
     "docs_pack_stats": q_docs_pack_stats,
     "events_type_pivot": q_events_type_pivot,
     "events_value_outliers": q_events_value_outliers,
+    "events_latest_per_user": q_events_latest_per_user,
+    "cust_spend_rank": q_cust_spend_rank,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
@@ -2159,6 +2234,8 @@ ORACLE = {
     "docs_pack_stats": SQL_DOCS_PACK_STATS,
     "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
     "events_value_outliers": SQL_EVENTS_VALUE_OUTLIERS,
+    "events_latest_per_user": SQL_EVENTS_LATEST_PER_USER,
+    "cust_spend_rank": SQL_CUST_SPEND_RANK,
 }
 
 # Deterministic but not ANSI-SQL-expressible queries (custom 64-bit token

@@ -90,6 +90,48 @@ def test_pack_stats_matches_brute_force(ray_session):
                          got["pack_id"].iloc[0] + len(got))).all()
 
 
+def test_global_rank_matches_argsort(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.packing import global_rank
+
+    rng = np.random.RandomState(21)
+    v = rng.randint(0, 50, size=600).astype(np.int64)     # many ties
+    tb = rng.permutation(600).astype(np.int64)            # unique tiebreak
+    ds = rd.from_arrow(pa.table({"v": v, "tb": tb})).repartition(5)
+    got = (global_rank(ds, order_col="v", tiebreak="tb",
+                       cols=["v", "tb"], out_col="r")
+           .to_pandas().sort_values("r").reset_index(drop=True))
+    order = np.lexsort((tb, v))
+    assert got["r"].tolist() == list(range(600))
+    assert (got["v"].to_numpy() == v[order]).all()
+    assert (got["tb"].to_numpy() == tb[order]).all()
+
+
+def test_latest_per_key_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.window import latest_per_key
+
+    rng = np.random.RandomState(23)
+    n = 1200
+    k = rng.randint(0, 60, size=n).astype(np.int64)
+    t = rng.randint(0, 40, size=n).astype(np.int64)       # tied times
+    eid = rng.permutation(n).astype(np.int64)             # unique tiebreak
+    ds = rd.from_arrow(pa.table({"k": k, "t": t, "eid": eid})) \
+        .repartition(7)
+    got = (latest_per_key(ds, key="k", order_cols=["t", "eid"],
+                          cols=["k", "t", "eid"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (pd.DataFrame({"k": k, "t": t, "eid": eid})
+            .sort_values(["k", "t", "eid"], kind="stable")
+            .drop_duplicates(subset=["k"], keep="last")
+            .sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["t"].tolist() == want["t"].tolist()
+    assert got["eid"].tolist() == want["eid"].tolist()
+
+
 def test_pivot_counts_matches_crosstab(ray_session):
     import ray.data as rd
 

@@ -80,7 +80,8 @@ SQL_CHECKED = ["exact_dedup", "exact_cluster", "block_counts", "token_counts",
                "knn_bruteforce", "ngram_jaccard", "embedding_near_dup_exact",
                "lineitem_corr", "region_nation_rollup", "events_funnel",
                "events_props_stats", "docs_pack_stats", "events_type_pivot",
-               "events_value_outliers"]
+               "events_value_outliers", "events_latest_per_user",
+               "cust_spend_rank"]
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
