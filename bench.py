@@ -169,7 +169,8 @@ def run_bench() -> dict:
                      "embedding_pca2", "events_props_stats",
                      "approx_token_freq", "docs_pack_stats",
                      "events_type_pivot", "events_value_outliers",
-                     "events_latest_per_user", "cust_spend_rank"]:
+                     "events_latest_per_user", "cust_spend_rank",
+                     "cust_profile"]:
             t0 = time.time()
             out = Q.QUERIES[name](SF_DIR)
             # consume without materializing to the driver more than needed

@@ -479,3 +479,62 @@ def key_filter_join(left, right, *, left_key: str, right_key: str,
     light = (left.map_batches(prep_left, batch_format="pyarrow")
              .union(right.map_batches(prep_right, batch_format="pyarrow")))
     return light.groupby("jbkt").map_groups(merge, batch_format="pyarrow")
+
+
+def full_outer_sum_join(left, right, *, left_key: str, right_key: str,
+                        out_key: str, left_vals: list[str],
+                        right_vals: list[str],
+                        left_count: str = "n_left",
+                        right_count: str = "n_right"):
+    """FULL OUTER aggregate join: per key, row counts and int64 value sums
+    from BOTH inputs, with a key present in either side emitting one row
+    and the absent side's columns as 0 (COALESCE semantics — counts read
+    naturally as "none").
+
+    A full outer join of two AGGREGATES never needs a pairwise join at
+    all: each side pre-combines per batch into fixed-width partial rows
+    (key, its sums, zeros for the other side's columns), the two partial
+    streams ``union``, and ONE distributed groupby sums everything —
+    single shuffle, no join operator, no null handling.  Value columns
+    must already be exact integer units (repo FP convention).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    all_cols = [left_count] + list(left_vals) + [right_count] + list(right_vals)
+
+    def make_partial(key_col: str, vals: list[str], cnt: str):
+        def partial(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({out_key: _as_int64(t.column(key_col))})
+            for v in vals:
+                df[v] = _as_int64(t.column(v))
+            g = df.groupby(out_key, as_index=False).agg(
+                **{cnt: (out_key, "size")},
+                **{v: (v, "sum") for v in vals})
+            out = {out_key: pa.array(g[out_key].to_numpy().astype(np.int64),
+                                     pa.int64())}
+            for c in all_cols:
+                src = (g[c].to_numpy().astype(np.int64) if c in g.columns
+                       else np.zeros(len(g), dtype=np.int64))
+                out[c] = pa.array(src, pa.int64())
+            return pa.table(out)
+        return partial
+
+    u = (left.map_batches(make_partial(left_key, list(left_vals), left_count),
+                          batch_format="pyarrow")
+         .union(right.map_batches(
+             make_partial(right_key, list(right_vals), right_count),
+             batch_format="pyarrow")))
+    agg = u.groupby(out_key).aggregate(
+        *[Sum(c, alias_name=c) for c in all_cols])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            out_key: pa.array(t.column(out_key).to_numpy().astype(np.int64),
+                              pa.int64()),
+            **{c: pa.array(t.column(c).to_numpy().astype(np.int64),
+                           pa.int64()) for c in all_cols},
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -2084,6 +2084,58 @@ FROM spend
 """
 
 
+def q_cust_profile(sf_dir: str):
+    """FULL OUTER customer profile (``ops.joins.full_outer_sum_join``):
+    per key, order count + exact spend cents joined with event count +
+    exact value micros — keys live in either table; absent sides read 0.
+    No pairwise join: both sides pre-combine per batch, one union, ONE
+    groupby-sum shuffle."""
+    from cutwed_ray.ops.joins import full_outer_sum_join
+
+    od = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.floor(t.column("o_totalprice").to_numpy() * 100 + 0.5
+                     ).astype(np.int64)
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "spend_cents": pa.array(c, pa.int64())})
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def micros(t: pa.Table) -> pa.Table:
+        m = np.floor(t.column("value").to_numpy() * 1_000_000 + 0.5
+                     ).astype(np.int64)
+        return pa.table({"user_id": t.column("user_id"),
+                         "value_micros": pa.array(m, pa.int64())})
+
+    return full_outer_sum_join(
+        od.map_batches(cents, batch_format="pyarrow"),
+        ev.map_batches(micros, batch_format="pyarrow"),
+        left_key="o_custkey", right_key="user_id", out_key="cust_id",
+        left_vals=["spend_cents"], right_vals=["value_micros"],
+        left_count="n_orders", right_count="n_events")
+
+
+SQL_CUST_PROFILE = """
+WITH o AS (
+  SELECT o_custkey AS cust_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS spend_cents
+  FROM orders GROUP BY 1),
+e AS (
+  SELECT user_id AS cust_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS value_micros
+  FROM events GROUP BY 1)
+SELECT COALESCE(o.cust_id, e.cust_id) AS cust_id,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.spend_cents, 0) AS spend_cents,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(e.value_micros, 0) AS value_micros
+FROM o FULL OUTER JOIN e USING (cust_id)
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "exact_cluster": q_exact_cluster,
@@ -2131,6 +2183,7 @@ QUERIES = {
     "events_value_outliers": q_events_value_outliers,
     "events_latest_per_user": q_events_latest_per_user,
     "cust_spend_rank": q_cust_spend_rank,
+    "cust_profile": q_cust_profile,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
@@ -2236,6 +2289,7 @@ ORACLE = {
     "events_value_outliers": SQL_EVENTS_VALUE_OUTLIERS,
     "events_latest_per_user": SQL_EVENTS_LATEST_PER_USER,
     "cust_spend_rank": SQL_CUST_SPEND_RANK,
+    "cust_profile": SQL_CUST_PROFILE,
 }
 
 # Deterministic but not ANSI-SQL-expressible queries (custom 64-bit token

@@ -163,6 +163,32 @@ def test_pivot_counts_unknown_category_raises(ray_session):
         pivot_counts(ds, "k", "cat", ["a", "b"]).materialize()
 
 
+def test_full_outer_sum_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.joins import full_outer_sum_join
+
+    rng = np.random.RandomState(29)
+    lk = rng.randint(0, 30, size=400).astype(np.int64)
+    lv = rng.randint(0, 100, size=400).astype(np.int64)
+    rk = rng.randint(20, 50, size=300).astype(np.int64)   # partial overlap
+    rv = rng.randint(0, 100, size=300).astype(np.int64)
+    left = rd.from_arrow(pa.table({"k": lk, "a": lv})).repartition(4)
+    right = rd.from_arrow(pa.table({"k": rk, "b": rv})).repartition(3)
+    got = (full_outer_sum_join(left, right, left_key="k", right_key="k",
+                               out_key="key", left_vals=["a"],
+                               right_vals=["b"])
+           .to_pandas().sort_values("key").reset_index(drop=True))
+    lw = (pd.DataFrame({"key": lk, "a": lv}).groupby("key")
+          .agg(n_left=("a", "size"), a=("a", "sum")))
+    rw = (pd.DataFrame({"key": rk, "b": rv}).groupby("key")
+          .agg(n_right=("b", "size"), b=("b", "sum")))
+    want = lw.join(rw, how="outer").fillna(0).astype(np.int64) \
+        .reset_index().sort_values("key").reset_index(drop=True)
+    for c in ("key", "n_left", "a", "n_right", "b"):
+        assert got[c].tolist() == want[c].tolist(), c
+
+
 def test_zscore_outliers_matches_brute_force(ray_session):
     import ray.data as rd
 
