@@ -2136,6 +2136,51 @@ FROM o FULL OUTER JOIN e USING (cust_id)
 """
 
 
+def q_order_ship_90d(sf_dir: str):
+    """Cross-table interval join (``ops.joins.range_agg_join`` across two
+    DIFFERENT tables): per order, count + exact centi-quantity of its
+    lineitems shipped within [o_orderdate, +90 days) — fulfilment-latency
+    accounting.  LEFT semantics: unshipped orders emit 0."""
+    from cutwed_ray.ops.joins import range_agg_join
+
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_quantity"])
+
+    def centi(t: pa.Table) -> pa.Table:
+        qc = np.floor(t.column("l_quantity").to_numpy() * 100 + 0.5
+                      ).astype(np.int64)
+        return (t.drop_columns(["l_quantity"])
+                 .append_column("qty_centi", pa.array(qc, pa.int64())))
+
+    out = range_agg_join(
+        od, li.map_batches(centi, batch_format="pyarrow"),
+        left_key="o_orderkey", left_time="o_orderdate",
+        right_key="l_orderkey", right_time="l_shipdate",
+        left_cols=["o_orderkey"],
+        window_lo=0, window_hi=90 * 86_400_000_000,
+        value_col="qty_centi")
+
+    def semantic_names(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["o_orderkey", "n_shipped_90d",
+                                 "qty_centi_90d"])
+
+    return out.map_batches(semantic_names, batch_format="pyarrow")
+
+
+SQL_ORDER_SHIP_90D = """
+SELECT a.o_orderkey,
+       count(b.l_orderkey) AS n_shipped_90d,
+       CAST(COALESCE(SUM(CAST(FLOOR(b.l_quantity * 100 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS qty_centi_90d
+FROM orders a
+LEFT JOIN lineitem b
+  ON b.l_orderkey = a.o_orderkey
+ AND b.l_shipdate >= a.o_orderdate
+ AND b.l_shipdate < a.o_orderdate + INTERVAL 90 DAY
+GROUP BY a.o_orderkey
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "exact_cluster": q_exact_cluster,
@@ -2184,6 +2229,7 @@ QUERIES = {
     "events_latest_per_user": q_events_latest_per_user,
     "cust_spend_rank": q_cust_spend_rank,
     "cust_profile": q_cust_profile,
+    "order_ship_90d": q_order_ship_90d,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
@@ -2290,6 +2336,7 @@ ORACLE = {
     "events_latest_per_user": SQL_EVENTS_LATEST_PER_USER,
     "cust_spend_rank": SQL_CUST_SPEND_RANK,
     "cust_profile": SQL_CUST_PROFILE,
+    "order_ship_90d": SQL_ORDER_SHIP_90D,
 }
 
 # Deterministic but not ANSI-SQL-expressible queries (custom 64-bit token
