@@ -170,7 +170,8 @@ def run_bench() -> dict:
                      "approx_token_freq", "docs_pack_stats",
                      "events_type_pivot", "events_value_outliers",
                      "events_latest_per_user", "cust_spend_rank",
-                     "cust_profile", "order_ship_90d"]:
+                     "cust_profile", "order_ship_90d",
+                     "events_debounced", "events_value_share"]:
             t0 = time.time()
             out = Q.QUERIES[name](SF_DIR)
             # consume without materializing to the driver more than needed

@@ -424,6 +424,60 @@ def zscore_outliers(ds, group_col: str, value_col: str, cols: list[str],
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def grouped_share(ds, group_col: str, key_col: str, value_col: str,
+                  sum_name: str = "value_sum", share_name: str = "share"):
+    """Ratio-to-report window: per (group, key), the exact int64 value sum
+    AND its float64 share of the group's total (``SUM(v) OVER (PARTITION
+    BY group, key) / SUM(v) OVER (PARTITION BY group)``).
+
+    Scale shape: map-side combine to per-batch (group, key) partials,
+    ONE distributed multi-key groupby (output bounded by the (group, key)
+    domain, never the corpus), then group totals are a second tiny
+    groupby over that LIGHT aggregate — pulled to the driver only at
+    O(groups) rows — and the share is a streaming map.  The share is one
+    float64 division of two exact int64 sums (both < 2^53), a single
+    correctly-rounded IEEE op on identical inputs — bit-identical to a
+    SQL oracle computing the same division.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t.column(group_col).to_pandas(),
+            "k": t.column(key_col).to_numpy().astype(np.int64),
+            "v": t.column(value_col).to_numpy().astype(np.int64),
+        })
+        out = df.groupby(["g", "k"], as_index=False).agg(v=("v", "sum"))
+        return pa.table({
+            group_col: pa.array(out.g),
+            key_col: pa.array(out.k.to_numpy().astype(np.int64), pa.int64()),
+            sum_name: pa.array(out.v.to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    per_key = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby([group_col, key_col])
+                 .aggregate(Sum(sum_name, alias_name=sum_name))
+                 .materialize())
+    totals = (per_key.groupby(group_col)
+              .aggregate(Sum(sum_name, alias_name="_tot")).to_pandas())
+    tot_of = {g: np.float64(np.int64(t))
+              for g, t in zip(totals[group_col], totals["_tot"])}
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_pandas()
+        s = t.column(sum_name).to_numpy().astype(np.int64)
+        tot = g.map(tot_of).to_numpy(dtype=np.float64)
+        return pa.table({
+            group_col: pa.array(g),
+            key_col: pa.array(t.column(key_col).to_numpy().astype(np.int64),
+                              pa.int64()),
+            sum_name: pa.array(s, pa.int64()),
+            share_name: pa.array(s.astype(np.float64) / tot, pa.float64()),
+        })
+
+    return per_key.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ HLL ----
 #: HLL bias constant alpha_m for m >= 128 registers
 def _alpha(m: int) -> float:

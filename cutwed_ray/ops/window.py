@@ -99,6 +99,37 @@ def running_sum(ds, *, key: str, time: str, tiebreak: str, value: str,
             .map_groups(run_bucket, batch_format="pandas"))
 
 
+def debounce(ds, *, key: str, time: str, tiebreak: str, min_gap: int,
+             cols: list[str]):
+    """Inter-arrival debounce: keep each key's FIRST row and every row
+    whose exact gap to the SAME key's PREVIOUS row (in (time, tiebreak)
+    order) is >= ``min_gap`` (time units: int64, micros for timestamps) —
+    the burst-suppression / retry-collapse hygiene filter of event
+    pipelines.
+
+    Semantics note: the gap is to the previous EVENT, not the previous
+    KEPT event (the LAG formulation — fully vectorizable and exactly
+    SQL-replicable; the kept-event-chain variant is an inherently
+    sequential per-key recursion).  Same scale shape as
+    :func:`lag_delta`: coarse key-bucket shuffle, one stable lexsort +
+    shifted compare per bucket, light projected rows only.
+    """
+    def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, time, tiebreak], kind="stable")
+        t = _time_i64(g[time], "time")
+        same = g[key].to_numpy()
+        keep = np.ones(len(g), dtype=bool)
+        prev_same = np.zeros(len(g), dtype=bool)
+        prev_same[1:] = same[1:] == same[:-1]
+        gap = np.zeros(len(g), dtype=np.int64)
+        gap[1:] = t[1:] - t[:-1]
+        keep[prev_same] = gap[prev_same] >= np.int64(min_gap)
+        return g.loc[keep, cols].reset_index(drop=True)
+
+    return (_bucketize(ds, key).groupby("_wbkt")
+            .map_groups(keep_bucket, batch_format="pandas"))
+
+
 def latest_per_key(ds, *, key: str, order_cols: list[str],
                    cols: list[str]):
     """Keep each key's LAST row by lexicographic ``order_cols`` —

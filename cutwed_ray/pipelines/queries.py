@@ -2181,6 +2181,64 @@ GROUP BY a.o_orderkey
 """
 
 
+def q_events_debounced(sf_dir: str):
+    """Burst-suppression filter (``ops.window.debounce``): keep each
+    user's first event and any event >= 1 hour after the user's previous
+    event (LAG formulation — exact epoch-micros gaps, SQL-replicable)."""
+    from cutwed_ray.ops.window import debounce
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return debounce(ev, key="user_id", time="ts", tiebreak="event_id",
+                    min_gap=3_600_000_000, cols=["event_id", "user_id"])
+
+
+SQL_EVENTS_DEBOUNCED = """
+WITH lagged AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events)
+SELECT event_id, user_id
+FROM lagged WHERE gap IS NULL OR gap >= 3600000000
+"""
+
+
+def q_events_value_share(sf_dir: str):
+    """Ratio-to-report (``ops.agg.grouped_share``): per (event_type,
+    user), the exact value-micros sum and its float64 share of the
+    type's total — one multi-key groupby of map-side-combined partials;
+    the share division is bit-identical to the oracle's (one IEEE op on
+    identical exact int64 sums)."""
+    from cutwed_ray.ops.agg import grouped_share
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def micros(t: pa.Table) -> pa.Table:
+        m = np.floor(t.column("value").to_numpy() * 1_000_000 + 0.5
+                     ).astype(np.int64)
+        return (t.drop_columns(["value"])
+                 .append_column("value_micros", pa.array(m, pa.int64())))
+
+    return grouped_share(ev.map_batches(micros, batch_format="pyarrow"),
+                         "event_type", "user_id", "value_micros",
+                         sum_name="user_value_micros", share_name="share")
+
+
+SQL_EVENTS_VALUE_SHARE = """
+WITH s AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS user_value_micros
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type, CAST(SUM(user_value_micros) AS BIGINT) AS tm
+  FROM s GROUP BY 1)
+SELECT s.event_type, s.user_id, s.user_value_micros,
+       CAST(s.user_value_micros AS DOUBLE) / CAST(t.tm AS DOUBLE) AS share
+FROM s JOIN t USING (event_type)
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "exact_cluster": q_exact_cluster,
@@ -2230,6 +2288,8 @@ QUERIES = {
     "cust_spend_rank": q_cust_spend_rank,
     "cust_profile": q_cust_profile,
     "order_ship_90d": q_order_ship_90d,
+    "events_debounced": q_events_debounced,
+    "events_value_share": q_events_value_share,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
@@ -2337,6 +2397,8 @@ ORACLE = {
     "cust_spend_rank": SQL_CUST_SPEND_RANK,
     "cust_profile": SQL_CUST_PROFILE,
     "order_ship_90d": SQL_ORDER_SHIP_90D,
+    "events_debounced": SQL_EVENTS_DEBOUNCED,
+    "events_value_share": SQL_EVENTS_VALUE_SHARE,
 }
 
 # Deterministic but not ANSI-SQL-expressible queries (custom 64-bit token

@@ -163,6 +163,55 @@ def test_pivot_counts_unknown_category_raises(ray_session):
         pivot_counts(ds, "k", "cat", ["a", "b"]).materialize()
 
 
+def test_debounce_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.window import debounce
+
+    rng = np.random.RandomState(31)
+    n = 900
+    k = rng.randint(0, 40, size=n).astype(np.int64)
+    t = rng.randint(0, 500, size=n).astype(np.int64)
+    eid = rng.permutation(n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": k, "t": t, "eid": eid})).repartition(6)
+    got = (debounce(ds, key="k", time="t", tiebreak="eid", min_gap=20,
+                    cols=["eid", "k"])
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    df = (pd.DataFrame({"k": k, "t": t, "eid": eid})
+          .sort_values(["k", "t", "eid"], kind="stable"))
+    gap = df.groupby("k")["t"].diff()
+    want = df[gap.isna() | (gap >= 20)].sort_values("eid") \
+        .reset_index(drop=True)
+    assert got["eid"].tolist() == want["eid"].tolist()
+
+
+def test_grouped_share_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.agg import grouped_share
+
+    rng = np.random.RandomState(37)
+    g = rng.choice(["a", "b", "c"], size=700)
+    k = rng.randint(0, 25, size=700).astype(np.int64)
+    v = rng.randint(1, 1000, size=700).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "k": k, "v": v})).repartition(5)
+    got = (grouped_share(ds, "g", "k", "v")
+           .to_pandas().sort_values(["g", "k"]).reset_index(drop=True))
+    df = pd.DataFrame({"g": g, "k": k, "v": v})
+    sums = df.groupby(["g", "k"], as_index=False).agg(value_sum=("v", "sum"))
+    tot = df.groupby("g")["v"].sum()
+    sums["share"] = (sums["value_sum"].to_numpy().astype(np.float64)
+                     / sums["g"].map(tot).to_numpy().astype(np.float64))
+    sums = sums.sort_values(["g", "k"]).reset_index(drop=True)
+    assert got["value_sum"].tolist() == sums["value_sum"].tolist()
+    # bit identity of the division
+    assert (got["share"].to_numpy().view(np.int64)
+            == sums["share"].to_numpy().view(np.int64)).all()
+    # shares per group sum to ~1
+    ssum = got.groupby("g")["share"].sum()
+    assert np.allclose(ssum.to_numpy(), 1.0, atol=1e-12)
+
+
 def test_full_outer_sum_join_matches_pandas(ray_session):
     import ray.data as rd
 

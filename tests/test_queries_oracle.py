@@ -81,7 +81,8 @@ SQL_CHECKED = ["exact_dedup", "exact_cluster", "block_counts", "token_counts",
                "lineitem_corr", "region_nation_rollup", "events_funnel",
                "events_props_stats", "docs_pack_stats", "events_type_pivot",
                "events_value_outliers", "events_latest_per_user",
-               "cust_spend_rank", "cust_profile", "order_ship_90d"]
+               "cust_spend_rank", "cust_profile", "order_ship_90d",
+               "events_debounced", "events_value_share"]
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
