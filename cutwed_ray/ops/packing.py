@@ -123,6 +123,44 @@ def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
               .groupby("_b").map_groups(scan_bucket, batch_format="pandas"))
 
 
+def chunk_stats(ds, *, id_col: str, tokens_col: str, chunk_len: int,
+                stride: int | None = None):
+    """Sliding-window document chunking — the flat-map DUAL of
+    :func:`pack_stats`: long documents split into ``chunk_len``-token
+    windows starting every ``stride`` tokens (default = ``chunk_len``,
+    i.e. disjoint), the standard long-context preprocessing step.
+
+    Emits one row per (doc, chunk): ``(id_col, chunk_id, chunk_tokens)``
+    where ``chunk_tokens = min(chunk_len, n_tokens - chunk_id*stride)``.
+    Docs with 0 tokens emit nothing; otherwise a doc emits
+    ``1 + max(0, ceil((n_tokens - chunk_len) / stride))`` chunks.
+
+    Scale shape: a pure stateless ``map_batches`` expansion (np.repeat +
+    arange arithmetic, no Python loop) — no shuffle, no state; output
+    row count is corpus tokens / stride, which streams.
+    """
+    stride = int(stride or chunk_len)
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = _nn_i64(t, id_col)
+        n = _nn_i64(t, tokens_col)
+        extra = np.maximum(n - chunk_len, 0)
+        n_chunks = np.where(n > 0, 1 + -(-extra // stride), 0)
+        rep_ids = np.repeat(ids, n_chunks)
+        total = int(n_chunks.sum())
+        base = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        cid = np.arange(total, dtype=np.int64) - base
+        toks = np.minimum(np.int64(chunk_len),
+                          np.repeat(n, n_chunks) - cid * stride)
+        return pa.table({
+            id_col: pa.array(rep_ids, pa.int64()),
+            "chunk_id": pa.array(cid, pa.int64()),
+            "chunk_tokens": pa.array(toks, pa.int64()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
 def global_rank(ds, *, order_col: str, tiebreak: str, cols: list[str],
                 out_col: str = "rank"):
     """Append each row's 0-based GLOBAL rank in ascending

@@ -2239,6 +2239,113 @@ FROM s JOIN t USING (event_type)
 """
 
 
+#: chunking parameters for the long-context preprocessing query
+CHUNK_LEN, CHUNK_STRIDE = 512, 384
+
+
+def q_docs_chunk_stats(sf_dir: str):
+    """Sliding-window chunking (``ops.packing.chunk_stats``): docs split
+    into 512-token windows every 384 tokens (128-token overlap) — the
+    flat-map dual of sequence packing; stateless vectorized expansion,
+    no shuffle."""
+    from cutwed_ray.ops.packing import chunk_stats
+    from cutwed_ray.ops.text import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    light = ds.map_batches(
+        lambda t: token_count(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow")
+    return chunk_stats(light, id_col="doc_id", tokens_col="n_tokens",
+                       chunk_len=CHUNK_LEN, stride=CHUNK_STRIDE)
+
+
+SQL_DOCS_CHUNK_STATS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+              ELSE length(regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+         END AS n_tokens
+  FROM documents),
+nc AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 0
+              THEN 1 + CAST((GREATEST(n_tokens - 512, 0) + 383) // 384
+                            AS BIGINT)
+              ELSE 0 END AS n_chunks
+  FROM toks),
+ch AS (
+  SELECT doc_id, n_tokens, UNNEST(range(n_chunks)) AS cid
+  FROM nc)
+SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+       CAST(LEAST(512, n_tokens - cid * 384) AS BIGINT) AS chunk_tokens
+FROM ch
+"""
+
+
+def q_events_contract(sf_dir: str):
+    """Data-contract gate (``ops.contract.contract_violations``): one
+    streaming pass counts violations of four declared constraints on the
+    events table (value >= 0, event_type in dictionary, ts within the
+    collection window, props JSON-shaped); map-side-combined partials,
+    one tiny groupby."""
+    from cutwed_ray.ops.contract import contract_violations
+
+    ev = _read(sf_dir, "events",
+               ["ts", "event_type", "value", "props"])
+    types = set(EVENT_TYPES)
+    lo = np.datetime64("2024-01-01", "us").astype(np.int64)
+    hi = np.datetime64("2024-02-01", "us").astype(np.int64)
+
+    def value_nonneg(t: pa.Table) -> np.ndarray:
+        return t.column("value").to_numpy() < 0
+
+    def type_in_dict(t: pa.Table) -> np.ndarray:
+        return ~t.column("event_type").to_pandas().isin(types).to_numpy()
+
+    def ts_in_window(t: pa.Table) -> np.ndarray:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]") \
+              .astype(np.int64)
+        return (ts < lo) | (ts >= hi)
+
+    def props_json(t: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        p = t.column("props")
+        ok = pc.and_(pc.starts_with(p, "{"), pc.ends_with(p, "}"))
+        return ~ok.to_numpy(zero_copy_only=False).astype(bool)
+
+    return contract_violations(ev, {
+        "value_nonneg": value_nonneg,
+        "type_in_dict": type_in_dict,
+        "ts_in_window": ts_in_window,
+        "props_json": props_json,
+    })
+
+
+SQL_EVENTS_CONTRACT = """
+SELECT 'props_json' AS constraint_name,
+       CAST(COUNT(*) FILTER (WHERE NOT (props LIKE '{%' AND props LIKE '%}'))
+            AS BIGINT) AS n_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_checked FROM events
+UNION ALL
+SELECT 'ts_in_window',
+       CAST(COUNT(*) FILTER (WHERE NOT (ts >= TIMESTAMP '2024-01-01'
+                                        AND ts < TIMESTAMP '2024-02-01'))
+            AS BIGINT),
+       CAST(COUNT(*) AS BIGINT) FROM events
+UNION ALL
+SELECT 'type_in_dict',
+       CAST(COUNT(*) FILTER (WHERE event_type NOT IN
+            ('click', 'error', 'purchase', 'signup', 'view')) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT) FROM events
+UNION ALL
+SELECT 'value_nonneg',
+       CAST(COUNT(*) FILTER (WHERE value < 0) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT) FROM events
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "exact_cluster": q_exact_cluster,
@@ -2290,6 +2397,8 @@ QUERIES = {
     "order_ship_90d": q_order_ship_90d,
     "events_debounced": q_events_debounced,
     "events_value_share": q_events_value_share,
+    "docs_chunk_stats": q_docs_chunk_stats,
+    "events_contract": q_events_contract,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
@@ -2399,6 +2508,8 @@ ORACLE = {
     "order_ship_90d": SQL_ORDER_SHIP_90D,
     "events_debounced": SQL_EVENTS_DEBOUNCED,
     "events_value_share": SQL_EVENTS_VALUE_SHARE,
+    "docs_chunk_stats": SQL_DOCS_CHUNK_STATS,
+    "events_contract": SQL_EVENTS_CONTRACT,
 }
 
 # Deterministic but not ANSI-SQL-expressible queries (custom 64-bit token

@@ -90,6 +90,64 @@ def test_pack_stats_matches_brute_force(ray_session):
                          got["pack_id"].iloc[0] + len(got))).all()
 
 
+def test_chunk_stats_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.packing import chunk_stats
+
+    rng = np.random.RandomState(41)
+    ids = np.arange(300, dtype=np.int64)
+    n = rng.randint(0, 3000, size=300).astype(np.int64)   # incl. zeros
+    n[::50] = 0
+    ds = rd.from_arrow(pa.table({"id": ids, "n": n})).repartition(4)
+    got = (chunk_stats(ds, id_col="id", tokens_col="n",
+                       chunk_len=512, stride=384)
+           .to_pandas().sort_values(["id", "chunk_id"])
+           .reset_index(drop=True))
+    rows = []
+    for i, nt in zip(ids, n):
+        c = 0
+        while nt > 0 and c * 384 < nt and (c == 0 or (nt - 512) > (c - 1) * 384):
+            rows.append((i, c, min(512, nt - c * 384)))
+            c += 1
+    want = pd.DataFrame(rows, columns=["id", "chunk_id", "chunk_tokens"])
+    assert got["id"].tolist() == want["id"].tolist()
+    assert got["chunk_id"].tolist() == want["chunk_id"].tolist()
+    assert got["chunk_tokens"].tolist() == want["chunk_tokens"].tolist()
+    # every chunk is 1..512 tokens and zero-token docs emit nothing
+    assert got["chunk_tokens"].between(1, 512).all()
+    assert not got["id"].isin(ids[::50]).any()
+
+
+def test_contract_violations_counts(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.contract import contract_violations
+
+    v = np.array([-1, 0, 5, -3, 2, 7], dtype=np.int64)
+    k = np.array([1, 2, 3, 4, 5, 6], dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"k": k, "v": v})).repartition(3)
+    out = contract_violations(ds, {
+        "v_nonneg": lambda t: t.column("v").to_numpy() < 0,
+        "v_small": lambda t: t.column("v").to_numpy() > 5,
+    }).to_pandas().sort_values("constraint_name").reset_index(drop=True)
+    assert out["constraint_name"].tolist() == ["v_nonneg", "v_small"]
+    assert out["n_violations"].tolist() == [2, 1]
+    assert out["n_checked"].tolist() == [6, 6]
+
+
+def test_contract_bad_mask_shape_raises(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.contract import contract_violations
+
+    ds = rd.from_arrow(pa.table({"v": [1, 2, 3]}))
+    with pytest.raises(Exception, match="mask of shape"):
+        contract_violations(ds, {
+            "broken": lambda t: np.zeros(1, dtype=bool),
+        }).materialize()
+
+
 def test_global_rank_matches_argsort(ray_session):
     import ray.data as rd
 

@@ -82,7 +82,8 @@ SQL_CHECKED = ["exact_dedup", "exact_cluster", "block_counts", "token_counts",
                "events_props_stats", "docs_pack_stats", "events_type_pivot",
                "events_value_outliers", "events_latest_per_user",
                "cust_spend_rank", "cust_profile", "order_ship_90d",
-               "events_debounced", "events_value_share"]
+               "events_debounced", "events_value_share",
+               "docs_chunk_stats", "events_contract"]
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
