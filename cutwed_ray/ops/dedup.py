@@ -787,3 +787,49 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
 
     return bucketed.groupby("coarse_key").map_groups(pairs_of_coarse,
                                                      batch_format="pandas")
+
+
+def dup_clusters(ds, pairs, *, id_col: str = "doc_id",
+                 max_driver_edges: int = 5_000_000):
+    """Transitive near-dup CLUSTERS from a pair table — the step that
+    turns any of this module's pair generators into the actual dedup
+    ACTION: every doc labeled with its component's min id, and
+    ``is_canonical`` marking the one representative to KEEP per cluster
+    (singletons keep themselves).
+
+    Scale shape (the ER pipeline's edge-collection argument,
+    pipelines/entity_resolution.py): near-dup pair sets are sparse —
+    orders of magnitude smaller than the corpus — so the edge list is
+    pulled to the driver (guarded by ``max_driver_edges``; past that,
+    route through the ER pipeline's distributed label propagation),
+    components resolve with the vectorized hash-to-min pointer-jumping
+    kernel (stages/cluster.py), and the LABELING of the corpus is a
+    streaming broadcast map — the corpus itself never materializes.
+
+    Returns ``(id_col, dup_cluster_id, is_canonical)``, all int64.
+    """
+    import pandas as pd
+
+    from cutwed_ray.stages.cluster import connected_components_arrays
+
+    e = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    if len(e) > max_driver_edges:
+        raise ValueError(f"{len(e)} edges exceed max_driver_edges="
+                         f"{max_driver_edges}; use the ER pipeline's "
+                         "distributed label propagation instead")
+    labels = connected_components_arrays(
+        e["id_a"].to_numpy().astype(np.int64),
+        e["id_b"].to_numpy().astype(np.int64))
+
+    def label(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        lab = (pd.Series(ids).map(labels).fillna(pd.Series(ids))
+               .to_numpy().astype(np.int64))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "dup_cluster_id": pa.array(lab, pa.int64()),
+            "is_canonical": pa.array((lab == ids).astype(np.int64),
+                                     pa.int64()),
+        })
+
+    return ds.map_batches(label, batch_format="pyarrow")

@@ -1213,6 +1213,20 @@ def q_minhash_near_dup(sf_dir: str):
                              verify_jaccard=0.5)
 
 
+def q_minhash_dup_clusters(sf_dir: str):
+    """Transitive near-dup clusters (``ops.dedup.dup_clusters``): the
+    MinHash-LSH pair set closed under connectivity, every doc labeled
+    with its component's min id and ``is_canonical`` marking the single
+    representative to keep — the dedup ACTION, end to end.  Deterministic
+    (pairs are the fixture-oracled minhash set; components of a fixed
+    edge set are unique) -> pinned-fixture oracle."""
+    from cutwed_ray.ops.dedup import dup_clusters, minhash_lsh_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, verify_jaccard=0.5)
+    return dup_clusters(_read(sf_dir, "documents", ["doc_id"]), pairs)
+
+
 def q_simhash_near_dup(sf_dir: str):
     from cutwed_ray.ops.dedup import simhash_near_dup_pairs
 
@@ -2401,6 +2415,7 @@ QUERIES = {
     "events_contract": q_events_contract,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
+    "minhash_dup_clusters": q_minhash_dup_clusters,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "langid": q_langid,
@@ -2432,6 +2447,7 @@ FIXTURE_ORACLES: dict[str, list[str]] = {
     "langid": ["doc_id"],
     "fingerprint": ["doc_id"],
     "minhash_near_dup": ["id_a", "id_b"],
+    "minhash_dup_clusters": ["doc_id"],
     "simhash_near_dup": ["id_a", "id_b"],
     "embedding_near_dup": ["id_a", "id_b"],
     "knn_lsh": ["query_id", "rank"],

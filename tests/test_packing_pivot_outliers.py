@@ -296,6 +296,43 @@ def test_full_outer_sum_join_matches_pandas(ray_session):
         assert got[c].tolist() == want[c].tolist(), c
 
 
+def test_dup_clusters_transitive_and_canonical(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.dedup import dup_clusters
+
+    ids = np.arange(20, dtype=np.int64)
+    corpus = rd.from_arrow(pa.table({"doc_id": ids}))
+    # components: {1,3,5,7} (chain), {10,11}, singletons elsewhere
+    pairs = rd.from_arrow(pa.table({"id_a": [1, 3, 5, 10],
+                                    "id_b": [3, 5, 7, 11],
+                                    "sim": [0.9, 0.9, 0.9, 0.9]}))
+    out = (dup_clusters(corpus, pairs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    lab = dict(zip(out.doc_id, out.dup_cluster_id))
+    assert lab[1] == lab[3] == lab[5] == lab[7] == 1
+    assert lab[10] == lab[11] == 10
+    for i in ids:
+        if i not in (1, 3, 5, 7, 10, 11):
+            assert lab[i] == i
+    canon = out[out.is_canonical == 1].doc_id.tolist()
+    assert 1 in canon and 10 in canon
+    assert 3 not in canon and 11 not in canon
+    # exactly one canonical per cluster
+    assert (out.groupby("dup_cluster_id")["is_canonical"].sum() == 1).all()
+
+
+def test_dup_clusters_edge_budget_raises(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.dedup import dup_clusters
+
+    corpus = rd.from_arrow(pa.table({"doc_id": [1, 2, 3]}))
+    pairs = rd.from_arrow(pa.table({"id_a": [1, 2], "id_b": [2, 3]}))
+    with pytest.raises(ValueError, match="max_driver_edges"):
+        dup_clusters(corpus, pairs, max_driver_edges=1)
+
+
 def test_zscore_outliers_matches_brute_force(ray_session):
     import ray.data as rd
 

@@ -93,7 +93,8 @@ def test_oracle_parity(contract, oracle_con, name):
     _compare(name, queries[name], oracle[name], oracle_con)
 
 
-ROWS_ONLY = ["minhash_near_dup", "simhash_near_dup", "embedding_near_dup",
+ROWS_ONLY = ["minhash_near_dup", "minhash_dup_clusters",
+             "simhash_near_dup", "embedding_near_dup",
              "langid", "fingerprint", "knn_lsh", "knn_ivf",
              "approx_user_counts", "docs_split_counts",
              "twed_pairs_documents", "twed_topk_neighbors",
