@@ -172,7 +172,8 @@ def run_bench() -> dict:
                      "events_latest_per_user", "cust_spend_rank",
                      "cust_profile", "order_ship_90d",
                      "events_debounced", "events_value_share",
-                     "docs_chunk_stats", "events_contract"]:
+                     "docs_chunk_stats", "events_contract",
+                     "media_audio_energy"]:
             t0 = time.time()
             out = Q.QUERIES[name](SF_DIR)
             # consume without materializing to the driver more than needed

@@ -166,3 +166,99 @@ def frame_sample(t: pa.Table, every_n: int = 10) -> pa.Table:
         "media_id": pa.array(mid[rep], pa.int64()),
         "frame_idx": pa.array(frame_idx, pa.int64()),
     })
+
+
+# ------------------------------------------------------------- audio ----
+def synth_audio_table(n: int, rate: int = 16_000) -> pa.Table:
+    """Deterministic synthetic audio table: int16 little-endian PCM
+    payloads of 8k-32k samples per row, derived row/sample-wise from
+    splitmix64 — integer arithmetic only, so the table is bit-identical
+    on any platform, block layout or CPU count (no RNG stream, no libm)."""
+    ids = np.arange(n, dtype=np.uint64)
+    n_samp = (8_000 + splitmix64(ids ^ np.uint64(0xA5A5)) % np.uint64(24_001)
+              ).astype(np.int64)
+    rep = np.repeat(ids, n_samp)
+    base = np.repeat(np.cumsum(n_samp) - n_samp, n_samp)
+    j = (np.arange(rep.shape[0], dtype=np.int64) - base).astype(np.uint64)
+    h = splitmix64((rep << np.uint64(32)) ^ j)
+    pcm = (h % np.uint64(65_536)).astype(np.int64) - 32_768
+    buf = pcm.astype("<i2").tobytes()
+    offs = np.concatenate(([0], np.cumsum(2 * n_samp)))
+    payloads = pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+         pa.py_buffer(buf)])
+    return pa.table({
+        "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+        "payload": payloads,
+        "media_type": pa.array(["audio/pcm16"] * n, pa.string()),
+        "sample_rate": pa.array(np.full(n, rate, np.int32), pa.int32()),
+        "n_samples": pa.array(n_samp, pa.int64()),
+    })
+
+
+class AudioEnergyStage:
+    """REAL audio decode + windowed DSP features, numpy-only (no codec
+    libraries needed for raw PCM): each payload's int16 samples are viewed
+    zero-copy from the Arrow binary data buffer, and per ``window``-sample
+    window the stage emits EXACT int64 sufficient statistics — sum of
+    squared samples (energy), peak |amplitude|, and the window's sample
+    count — the standard VAD / loudness-gate features.
+
+    Fully vectorized across the whole batch: one ``np.add.reduceat`` /
+    ``np.maximum.reduceat`` over the concatenated sample buffer with
+    per-window boundary indices (rows are contiguous in Arrow's data
+    buffer, so segment boundaries cover every row with no per-row loop).
+    Integer outputs only -> bit-deterministic, fixture-oracle-able.
+    Batch sizing: BINARY_BATCH_KWARGS (wide binary rows).
+    """
+
+    def __init__(self, window: int = 1024):
+        self.window = int(window)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payload = t.column("payload")
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        n = len(t)
+        offs = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+            payload.offset: payload.offset + n + 1].astype(np.int64)
+        data = payload.buffers()[2]
+        pcm = (np.frombuffer(data, dtype="<i2", count=offs[-1] // 2)
+               if data is not None and offs[-1] else
+               np.zeros(0, dtype="<i2"))
+        start = offs[:-1] // 2
+        n_samp = (offs[1:] - offs[:-1]) // 2
+        if (offs % 2).any():
+            raise ValueError("pcm16 payload with odd byte length")
+        w = self.window
+        n_win = -(-n_samp // w)                      # 0 for empty payloads
+        rep = np.repeat(np.arange(n, dtype=np.int64), n_win)
+        base = np.repeat(np.cumsum(n_win) - n_win, n_win)
+        wid = np.arange(rep.shape[0], dtype=np.int64) - base
+        bounds = start[rep] + wid * w
+        if bounds.shape[0] == 0:
+            return pa.table({
+                "media_id": pa.array([], pa.int64()),
+                "window_id": pa.array([], pa.int64()),
+                "n_in_window": pa.array([], pa.int64()),
+                "energy": pa.array([], pa.int64()),
+                "peak": pa.array([], pa.int64()),
+            })
+        x = pcm.astype(np.int64)
+        seg_n = np.minimum(np.int64(w), n_samp[rep] - wid * w)
+        energy = np.add.reduceat(x * x, bounds)
+        peak = np.maximum.reduceat(np.abs(x), bounds)
+        # reduceat's final segment runs to the buffer end; every other
+        # segment ends at the next boundary — both equal the window edge
+        # because rows are contiguous, EXCEPT a trailing gap can only
+        # exist if a later row starts before this window's nominal end,
+        # which contiguity rules out.
+        mids = t.column("media_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "media_id": pa.array(mids[rep], pa.int64()),
+            "window_id": pa.array(wid, pa.int64()),
+            "n_in_window": pa.array(seg_n, pa.int64()),
+            "energy": pa.array(energy, pa.int64()),
+            "peak": pa.array(peak, pa.int64()),
+        })

@@ -1891,6 +1891,25 @@ def q_approx_token_freq(sf_dir: str):
     return cms_token_counts(ds, "text", CMS_CANDIDATES)
 
 
+def q_media_audio_energy(sf_dir: str):
+    """REAL multimodal decode path (``ops.multimodal.AudioEnergyStage``):
+    int16 PCM payloads viewed zero-copy from the Arrow binary buffer,
+    per-1024-sample window EXACT int64 energy (sum of squares) + peak —
+    one vectorized reduceat over the whole batch, no codec library, no
+    per-row loop.  Integer-deterministic synthetic audio table ->
+    pinned-fixture oracle."""
+    import ray.data as rd
+
+    from cutwed_ray.ops.multimodal import (BINARY_BATCH_KWARGS,
+                                           AudioEnergyStage,
+                                           synth_audio_table)
+
+    n = 64 if "0.001" in sf_dir else 256
+    ds = rd.from_arrow(synth_audio_table(n))
+    return ds.map_batches(AudioEnergyStage, fn_constructor_args=(1024,),
+                          concurrency=(1, 2), **BINARY_BATCH_KWARGS)
+
+
 def q_embedding_pca2(sf_dir: str):
     """Distributed 2-component PCA projection of the embedding table
     (``ops.pca.pca_project``): exact int64 moment accumulation (layout-
@@ -2430,6 +2449,7 @@ QUERIES = {
     "er_clusters_documents": q_er_clusters_documents,
     "link_documents": q_link_documents,
     "media_features": q_media_features,
+    "media_audio_energy": q_media_audio_energy,
     "embedding_pca2": q_embedding_pca2,
     "approx_token_freq": q_approx_token_freq,
 }
@@ -2460,6 +2480,7 @@ FIXTURE_ORACLES: dict[str, list[str]] = {
     "er_clusters_documents": ["path"],
     "link_documents": ["id_a", "id_b"],
     "media_features": ["media_id"],
+    "media_audio_energy": ["media_id", "window_id"],
     "embedding_pca2": ["vec_id"],
     "approx_token_freq": ["token"],
 }

@@ -296,6 +296,26 @@ def test_full_outer_sum_join_matches_pandas(ray_session):
         assert got[c].tolist() == want[c].tolist(), c
 
 
+def test_audio_energy_matches_per_row_loop(ray_session):
+    from cutwed_ray.ops.multimodal import AudioEnergyStage, synth_audio_table
+
+    t = synth_audio_table(12)
+    out = AudioEnergyStage(window=1024)(t).to_pandas() \
+        .sort_values(["media_id", "window_id"]).reset_index(drop=True)
+    rows = []
+    for i in range(12):
+        pcm = np.frombuffer(t.column("payload")[i].as_py(), dtype="<i2") \
+            .astype(np.int64)
+        for w0 in range(0, len(pcm), 1024):
+            seg = pcm[w0:w0 + 1024]
+            rows.append((i, w0 // 1024, len(seg), int((seg * seg).sum()),
+                         int(np.abs(seg).max())))
+    want = pd.DataFrame(rows, columns=["media_id", "window_id",
+                                       "n_in_window", "energy", "peak"])
+    for c in want.columns:
+        assert out[c].tolist() == want[c].tolist(), c
+
+
 def test_dup_clusters_transitive_and_canonical(ray_session):
     import ray.data as rd
 

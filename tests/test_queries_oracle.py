@@ -99,6 +99,7 @@ ROWS_ONLY = ["minhash_near_dup", "minhash_dup_clusters",
              "approx_user_counts", "docs_split_counts",
              "twed_pairs_documents", "twed_topk_neighbors",
              "er_clusters_documents", "link_documents", "media_features",
+             "media_audio_energy",
              "embedding_pca2", "approx_token_freq"]
 
 
