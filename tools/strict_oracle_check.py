@@ -55,7 +55,9 @@ def main():
 
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False)
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("GRAFT_CHECK_CPUS", "8")),
+                 include_dashboard=False)
 
     con = duckdb.connect()
     for t in TABLES:
