@@ -807,24 +807,64 @@ def dup_clusters(ds, pairs, *, id_col: str = "doc_id",
     streaming broadcast map — the corpus itself never materializes.
 
     Returns ``(id_col, dup_cluster_id, is_canonical)``, all int64.
+
+    Past ``max_driver_edges`` the routing is AUTOMATIC: the edge Dataset
+    goes through the distributed hash-to-min label propagation
+    (``stages/cluster.py::label_propagation`` — the ER pipeline's scale
+    path) and labeling becomes a distributed left-outer join; both paths
+    produce identical min-id component labels
+    (``tests/test_ops.py::test_dup_clusters_distributed_path_bit_equal``).
     """
-    import pandas as pd
+    import ray
 
     from cutwed_ray.stages.cluster import connected_components_arrays
 
-    e = pairs.select_columns(["id_a", "id_b"]).to_pandas()
-    if len(e) > max_driver_edges:
-        raise ValueError(f"{len(e)} edges exceed max_driver_edges="
-                         f"{max_driver_edges}; use the ER pipeline's "
-                         "distributed label propagation instead")
-    labels = connected_components_arrays(
-        e["id_a"].to_numpy().astype(np.int64),
-        e["id_b"].to_numpy().astype(np.int64))
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    if edges.count() > max_driver_edges:
+        # distributed path: no edge materialization on the driver
+        from cutwed_ray.stages.cluster import (assign_clusters_ds,
+                                               label_propagation)
+
+        labels_ds = label_propagation(edges)
+        labeled = assign_clusters_ds(ds.select_columns([id_col]), labels_ds,
+                                     id_col=id_col)
+
+        def finish(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy().astype(np.int64)
+            lab = t.column("cluster_id").to_numpy().astype(np.int64)
+            return pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "dup_cluster_id": pa.array(lab, pa.int64()),
+                "is_canonical": pa.array((lab == ids).astype(np.int64),
+                                         pa.int64()),
+            })
+
+        return labeled.map_batches(finish, batch_format="pyarrow")
+
+    # driver path: sparse edges pulled once, vectorized hash-to-min
+    # pointer jumping; the label map ships as ONE plasma object of two
+    # sorted int64 arrays probed with searchsorted (not a closure dict —
+    # cloudpickle would copy a dict into every task's closure).
+    eb = [b for b in edges.iter_batches(batch_format="pyarrow",
+                                        batch_size=None)]
+    a = (np.concatenate([b.column("id_a").to_numpy() for b in eb])
+         .astype(np.int64) if eb else np.empty(0, np.int64))
+    b_ = (np.concatenate([b.column("id_b").to_numpy() for b in eb])
+          .astype(np.int64) if eb else np.empty(0, np.int64))
+    labels = connected_components_arrays(a, b_)
+    keys = np.fromiter(labels.keys(), dtype=np.int64, count=len(labels))
+    vals = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))
+    order = np.argsort(keys, kind="stable")
+    map_ref = ray.put((keys[order], vals[order]))
 
     def label(t: pa.Table) -> pa.Table:
+        k, v = ray.get(map_ref)
         ids = t.column(id_col).to_numpy().astype(np.int64)
-        lab = (pd.Series(ids).map(labels).fillna(pd.Series(ids))
-               .to_numpy().astype(np.int64))
+        lab = ids.copy()
+        if k.shape[0]:
+            pos = np.minimum(np.searchsorted(k, ids), k.shape[0] - 1)
+            hit = k[pos] == ids
+            lab[hit] = v[pos[hit]]
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
             "dup_cluster_id": pa.array(lab, pa.int64()),

@@ -305,16 +305,31 @@ def _doc_word_tf(batch: pa.Table, text_col: str, id_col: str):
     return ids[doc_idx], c_s[run_starts], tf, vocab
 
 
-def doc_freq(ds, text_col: str = "text", id_col: str = "doc_id"):
+def doc_freq(ds, text_col: str = "text", id_col: str = "doc_id",
+             include_doc_count: bool = False):
     """Global document frequency per word: distinct-doc count, computed as
     per-batch (word, partial df) partial aggregates + one tiny
-    ``groupby(word).sum`` shuffle (vocabulary-sized, not corpus-sized)."""
+    ``groupby(word).sum`` shuffle (vocabulary-sized, not corpus-sized).
+
+    ``include_doc_count=True`` rides a constant-key Count partial on the
+    SAME shuffle: each batch also emits a sentinel row ``word=""`` whose
+    df is the batch's row count ("" cannot collide — whitespace
+    tokenization yields only non-empty words).  Callers that need the
+    corpus doc count (tfidf) strip the sentinel instead of paying a
+    separate full ``ds.count()`` scan.
+    """
     def partial(t: pa.Table) -> pa.Table:
         _, codes, _, vocab = _doc_word_tf(t, text_col, id_col)
         cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
         nz = np.flatnonzero(cnt)
-        return pa.table({"word": vocab.take(pa.array(nz)),
-                         "df_part": pa.array(cnt[nz], pa.int64())})
+        words = vocab.take(pa.array(nz))
+        dfp = cnt[nz]
+        if include_doc_count:
+            words = pa.concat_arrays([pa.array([""], pa.string()),
+                                      words.cast(pa.string())])
+            dfp = np.r_[np.int64(t.num_rows), dfp]
+        return pa.table({"word": words,
+                         "df_part": pa.array(dfp, pa.int64())})
 
     from ray.data.aggregate import Sum
 
@@ -344,13 +359,21 @@ def tfidf_topk(ds, k: int = 3, text_col: str = "text",
     """
     import ray
 
+    # ONE statistics execution: the corpus doc count rides the doc_freq
+    # shuffle as a constant-key sentinel ("" word) instead of a separate
+    # full ds.count() scan — two executions total (stats + scoring), not
+    # three.
     df_tab = doc_freq(ds.select_columns([id_col, text_col]),
-                      text_col=text_col, id_col=id_col)
-    n_docs = ds.count()
+                      text_col=text_col, id_col=id_col,
+                      include_doc_count=True)
     parts = [b for b in df_tab.iter_batches(batch_format="pyarrow",
                                             batch_size=None)]
     df_all = pa.concat_tables(parts) if parts else pa.table(
         {"word": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    sentinel = pc.equal(df_all.column("word"), "")
+    n_docs = int(pc.sum(pc.if_else(sentinel, df_all.column("df"),
+                                   pa.scalar(0, pa.int64()))).as_py() or 0)
+    df_all = df_all.filter(pc.invert(sentinel))
     # sort the vocab lexically once: word RANK then equals byte order,
     # giving an integer tie-break identical to SQL's binary collation
     sort_idx = pc.sort_indices(df_all.column("word"))

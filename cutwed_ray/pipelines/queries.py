@@ -483,30 +483,83 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q_orders_by_segment(sf_dir: str):
-    """Broadcast hash join: the small customer side is ray.put once and read
-    inside the map stage (no shuffle join)."""
-    import ray
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        seg = ray.get(seg_ref)
-        df = t.to_pandas()
-        df["c_mktsegment"] = df.o_custkey.map(seg)
-        df["price_cents"] = np.floor(df.o_totalprice * 100 + 0.5).astype(np.int64)
-        g = df.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("price_cents", "size"), revenue_cents=("price_cents", "sum"))
-        return _pt(g)
-
+def _orders_by_segment_shuffle(sf_dir: str):
+    """Over-budget path for q_orders_by_segment: customer no longer
+    qualifies as a broadcast side, so take the big-big distributed hash
+    join (q_order_priority_revenue shape)."""
     from ray.data.aggregate import Sum
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("c_mktsegment")
-             .aggregate(Sum("n_orders", alias_name="n_orders"),
-                        Sum("revenue_cents", alias_name="revenue_cents")))
+    from cutwed_ray.stages.cluster import join_partitions
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    import pyarrow.parquet as pq
+    n_o = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    parts = max(2, min(join_partitions(), n_o // 50_000 + 1))
+    joined = orders.join(cust, join_type="inner", num_partitions=parts,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t.column("o_totalprice").to_numpy() * 100
+                         + 0.5).astype(np.int64)
+        df = pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                       "price_cents": pa.array(cents, pa.int64())}).to_pandas()
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("price_cents", "size"),
+            revenue_cents=("price_cents", "sum"))
+        return _pt(g)
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+                  .groupby("c_mktsegment")
+                  .aggregate(Sum("n_orders", alias_name="n_orders"),
+                             Sum("revenue_cents", alias_name="revenue_cents")))
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast hash join with NO driver-side table pull: one remote task
+    builds the customer dimension into (sorted c_custkey, int32 segment
+    codes, tiny category list) — the driver ships only the parquet path —
+    and every orders batch resolves segments with a single vectorized
+    ``searchsorted`` + ``bincount`` partial (ops/broadcast.py).  No pandas
+    ``.map``, no Python dict anywhere.  Budget-guarded: past
+    ``DEFAULT_MAX_ROWS`` the customer side stops qualifying as small and
+    the query falls back to the distributed hash join."""
+    from cutwed_ray.ops.broadcast import (DEFAULT_MAX_ROWS, build_lookup_async,
+                                          grouped_sum_count, parquet_rows,
+                                          probe_codes)
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    if parquet_rows(cust_path) > DEFAULT_MAX_ROWS:
+        agg = _orders_by_segment_shuffle(sf_dir)
+    else:
+        def build(path):
+            import pyarrow.parquet as pq
+            t = pq.read_table(path, columns=["c_custkey", "c_mktsegment"])
+            return t.column("c_custkey").to_numpy(), t.column("c_mktsegment")
+
+        ref = build_lookup_async(build, cust_path)
+        ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            codes, found, cats = probe_codes(
+                ref, t.column("o_custkey").to_numpy())
+            cents = np.floor(t.column("o_totalprice").to_numpy() * 100
+                             + 0.5).astype(np.int64)
+            cnt, sm = grouped_sum_count(codes, found, cents, len(cats))
+            nz = np.flatnonzero(cnt)
+            return pa.table({
+                "c_mktsegment": cats.take(pa.array(nz)),
+                "n_orders": pa.array(cnt[nz], pa.int64()),
+                "revenue_cents": pa.array(sm[nz], pa.int64()),
+            })
+
+        from ray.data.aggregate import Sum
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby("c_mktsegment")
+                 .aggregate(Sum("n_orders", alias_name="n_orders"),
+                            Sum("revenue_cents", alias_name="revenue_cents")))
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -528,36 +581,126 @@ GROUP BY c.c_mktsegment
 """
 
 
-def q_supplier_region_revenue(sf_dir: str):
-    """Multi-way broadcast join lineitem -> supplier -> nation -> region."""
+def _sup_region_lookup_build(sup_p: str, nat_p: str, reg_p: str):
+    """Remote-task body: compose supplier -> nation -> region into one
+    (s_suppkey, r_name) lookup with two vectorized searchsorted probes
+    (nation=25 / region=5 rows are fixed dims; supplier is the
+    SF-proportional side that stays inside the task)."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(sup_p, columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(nat_p, columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(reg_p, columns=["r_regionkey", "r_name"])
+
+    nk = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    o_n = np.argsort(nk, kind="stable")
+    nk, n2r = nk[o_n], nat.column("n_regionkey").to_numpy().astype(np.int64)[o_n]
+    rk = reg.column("r_regionkey").to_numpy().astype(np.int64)
+    o_r = np.argsort(rk, kind="stable")
+    rk = rk[o_r]
+    rname = reg.column("r_name").combine_chunks().take(pa.array(o_r))
+
+    s_nat = sup.column("s_nationkey").to_numpy().astype(np.int64)
+    reg_of_sup = n2r[np.searchsorted(nk, s_nat)]
+    return (sup.column("s_suppkey").to_numpy(),
+            rname.take(pa.array(np.searchsorted(rk, reg_of_sup))))
+
+
+def _supplier_region_revenue_shuffle(sf_dir: str):
+    """Over-budget path: supplier no longer broadcastable — distributed
+    hash join lineitem x (supplier pre-labeled with r_name via the fixed
+    25/5-row nation/region dims), then the tiny per-region rollup."""
     import ray
-
-    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    s2n = dict(zip(sup.s_suppkey, sup.s_nationkey))
-    n2r = dict(zip(nat.n_nationkey, nat.n_regionkey))
-    r2name = dict(zip(reg.r_regionkey, reg.r_name))
-    lookup_ref = ray.put({k: r2name[n2r[v]] for k, v in s2n.items()})
-
-    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        lk = ray.get(lookup_ref)
-        df = t.to_pandas()
-        df["r_name"] = df.l_suppkey.map(lk)
-        df["rev_cents"] = np.floor(
-            df.l_extendedprice * (1 - df.l_discount) * 100 + 0.5).astype(np.int64)
-        g = df.groupby("r_name", as_index=False).agg(revenue_cents=("rev_cents", "sum"),
-                                                     n_items=("rev_cents", "size"))
-        return _pt(g)
-
     from ray.data.aggregate import Sum
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("r_name")
-             .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
-                        Sum("n_items", alias_name="n_items")))
+    from cutwed_ray.stages.cluster import join_partitions
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nk = nat.n_nationkey.to_numpy().astype(np.int64)
+    o_n = np.argsort(nk, kind="stable")
+    dims_ref = ray.put((nk[o_n], nat.n_regionkey.to_numpy().astype(np.int64)[o_n],
+                        np.sort(reg.r_regionkey.to_numpy().astype(np.int64)),
+                        reg.r_name.to_numpy()[
+                            np.argsort(reg.r_regionkey.to_numpy(), kind="stable")]))
+
+    def label_sup(t: pa.Table) -> pa.Table:
+        nk_s, n2r, rk_s, rname = ray.get(dims_ref)
+        s_nat = t.column("s_nationkey").to_numpy().astype(np.int64)
+        r_of_s = n2r[np.searchsorted(nk_s, s_nat)]
+        return pa.table({
+            "s_suppkey": t.column("s_suppkey"),
+            "r_name": pa.array(rname[np.searchsorted(rk_s, r_of_s)]),
+        })
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(label_sup, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    import pyarrow.parquet as pq
+    n_li = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    parts = max(2, min(join_partitions(), n_li // 50_000 + 1))
+    joined = li.join(sup, join_type="inner", num_partitions=parts,
+                     on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * (1 - t.column("l_discount").to_numpy()) * 100
+                       + 0.5).astype(np.int64)
+        df = pa.table({"r_name": t.column("r_name"),
+                       "rev_cents": pa.array(rev, pa.int64())}).to_pandas()
+        g = df.groupby("r_name", as_index=False).agg(
+            revenue_cents=("rev_cents", "sum"), n_items=("rev_cents", "size"))
+        return _pt(g)
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+                  .groupby("r_name")
+                  .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                             Sum("n_items", alias_name="n_items")))
+
+
+def q_supplier_region_revenue(sf_dir: str):
+    """Multi-way star join lineitem -> supplier -> nation -> region as ONE
+    broadcast lookup: a remote task composes the three dimension tables
+    into (sorted s_suppkey, region-name codes) — the SF-proportional
+    supplier table never lands on the driver — and the lineitem stream
+    probes it with one searchsorted + bincount per batch
+    (ops/broadcast.py).  Budget-guarded with the distributed hash-join
+    fallback past DEFAULT_MAX_ROWS supplier rows."""
+    from cutwed_ray.ops.broadcast import (DEFAULT_MAX_ROWS, build_lookup_async,
+                                          grouped_sum_count, parquet_rows,
+                                          probe_codes)
+
+    sup_path = f"{sf_dir}/supplier.parquet"
+    if parquet_rows(sup_path) > DEFAULT_MAX_ROWS:
+        agg = _supplier_region_revenue_shuffle(sf_dir)
+    else:
+        ref = build_lookup_async(_sup_region_lookup_build, sup_path,
+                                 f"{sf_dir}/nation.parquet",
+                                 f"{sf_dir}/region.parquet")
+        ds = _read(sf_dir, "lineitem",
+                   ["l_suppkey", "l_extendedprice", "l_discount"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            codes, found, cats = probe_codes(
+                ref, t.column("l_suppkey").to_numpy())
+            rev = np.floor(t.column("l_extendedprice").to_numpy()
+                           * (1 - t.column("l_discount").to_numpy()) * 100
+                           + 0.5).astype(np.int64)
+            cnt, sm = grouped_sum_count(codes, found, rev, len(cats))
+            nz = np.flatnonzero(cnt)
+            return pa.table({
+                "r_name": cats.take(pa.array(nz)),
+                "revenue_cents": pa.array(sm[nz], pa.int64()),
+                "n_items": pa.array(cnt[nz], pa.int64()),
+            })
+
+        from ray.data.aggregate import Sum
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby("r_name")
+                 .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                            Sum("n_items", alias_name="n_items")))
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({

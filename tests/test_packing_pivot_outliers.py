@@ -342,15 +342,27 @@ def test_dup_clusters_transitive_and_canonical(ray_session):
     assert (out.groupby("dup_cluster_id")["is_canonical"].sum() == 1).all()
 
 
-def test_dup_clusters_edge_budget_raises(ray_session):
+def test_dup_clusters_distributed_path_bit_equal(ray_session):
+    """Past max_driver_edges the op auto-routes to distributed label
+    propagation; labels must be bit-identical to the driver path."""
     import ray.data as rd
 
     from cutwed_ray.ops.dedup import dup_clusters
 
-    corpus = rd.from_arrow(pa.table({"doc_id": [1, 2, 3]}))
-    pairs = rd.from_arrow(pa.table({"id_a": [1, 2], "id_b": [2, 3]}))
-    with pytest.raises(ValueError, match="max_driver_edges"):
-        dup_clusters(corpus, pairs, max_driver_edges=1)
+    rng = np.random.default_rng(7)
+    ids = np.arange(200, dtype=np.int64)
+    corpus = rd.from_arrow(pa.table({"doc_id": ids}))
+    a = rng.integers(0, 200, 80).astype(np.int64)
+    b = (a + rng.integers(1, 40, 80)).clip(max=199).astype(np.int64)
+    keep = a != b
+    pairs = rd.from_arrow(pa.table({"id_a": a[keep], "id_b": b[keep],
+                                    "sim": np.full(int(keep.sum()), 0.9)}))
+    drv = (dup_clusters(corpus, pairs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    dist = (dup_clusters(corpus, pairs, max_driver_edges=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert drv.equals(dist)
+    assert drv.dtypes.astype(str).tolist() == ["int64"] * 3
 
 
 def test_zscore_outliers_matches_brute_force(ray_session):
