@@ -184,6 +184,10 @@ def synth_audio_table(n: int, rate: int = 16_000) -> pa.Table:
     pcm = (h % np.uint64(65_536)).astype(np.int64) - 32_768
     buf = pcm.astype("<i2").tobytes()
     offs = np.concatenate(([0], np.cumsum(2 * n_samp)))
+    if offs[-1] >= 2**31:
+        raise ValueError(
+            f"synth_audio_table: total payload {offs[-1]} B overflows "
+            "binary()'s int32 offsets; shard the table or use large_binary")
     payloads = pa.BinaryArray.from_buffers(
         pa.binary(), n,
         [None, pa.py_buffer(offs.astype(np.int32).tobytes()),

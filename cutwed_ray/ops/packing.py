@@ -67,11 +67,17 @@ def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
 
     stats = ds.aggregate(Min(order_col), Max(order_col))
     lo, hi = stats[f"min({order_col})"], stats[f"max({order_col})"]
-    if lo is None:                       # empty input: nothing to scan
-        return ds.map_batches(
-            lambda t: t.select(cols).append_column(
-                out_col, pa.array([], pa.int64())),
-            batch_format="pyarrow")
+    if lo is None:
+        # Min()==None means EITHER an empty dataset OR rows whose
+        # order_col is entirely null — the latter must surface the
+        # null-rejection error, not an opaque length-mismatch append.
+        def empty_or_raise(t: pa.Table) -> pa.Table:
+            if t.num_rows:
+                _nn_i64(t, order_col)    # raises the null-rejection error
+            return t.select(cols).append_column(
+                out_col, pa.array([], pa.int64()))
+
+        return ds.map_batches(empty_or_raise, batch_format="pyarrow")
     nb = int(coarse_buckets())
     width = -((-(int(hi) - int(lo) + 1)) // nb)   # ceil(span/nb), no overflow
 

@@ -146,6 +146,14 @@ def latest_per_key(ds, *, key: str, order_cols: list[str],
     tied row — pass a unique final tiebreak (e.g. the event id) for
     determinism, as the oracle's ROW_NUMBER does.
     """
+    # the reduce side re-sorts the combined frame AFTER the projection to
+    # ``cols`` — key and every order column must survive that projection
+    missing = set([key] + order_cols) - set(cols)
+    if missing:
+        raise ValueError(
+            f"latest_per_key: cols must include key and all order_cols; "
+            f"missing {sorted(missing)}")
+
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         for c in [key] + order_cols:
             if g[c].isna().any():

@@ -2473,23 +2473,36 @@ def q_events_contract(sf_dir: str):
     lo = np.datetime64("2024-01-01", "us").astype(np.int64)
     hi = np.datetime64("2024-02-01", "us").astype(np.int64)
 
+    # NULL semantics (explicit, matching the oracle's COUNT(*) FILTER:
+    # a NULL predicate is NOT a violation — SQL three-valued logic
+    # excludes NULL rows from the filtered count; every checker below
+    # masks nulls to False before counting.  Pinned by
+    # tests/test_packing_pivot_outliers.py::test_contract_null_semantics.
     def value_nonneg(t: pa.Table) -> np.ndarray:
-        return t.column("value").to_numpy() < 0
+        v = t.column("value")
+        bad = v.to_numpy(zero_copy_only=False) < 0   # NaN < 0 is False
+        if v.null_count:
+            bad &= ~np.asarray(pc.is_null(v).to_numpy(zero_copy_only=False))
+        return bad
 
     def type_in_dict(t: pa.Table) -> np.ndarray:
-        return ~t.column("event_type").to_pandas().isin(types).to_numpy()
+        s = t.column("event_type").to_pandas()
+        return (~s.isin(types) & s.notna()).to_numpy()
 
     def ts_in_window(t: pa.Table) -> np.ndarray:
-        ts = t.column("ts").to_numpy().astype("datetime64[us]") \
+        c = t.column("ts")
+        ts = c.to_numpy(zero_copy_only=False).astype("datetime64[us]") \
               .astype(np.int64)
-        return (ts < lo) | (ts >= hi)
+        bad = (ts < lo) | (ts >= hi)
+        if c.null_count:
+            bad &= ~np.asarray(pc.is_null(c).to_numpy(zero_copy_only=False))
+        return bad
 
     def props_json(t: pa.Table) -> np.ndarray:
-        import pyarrow.compute as pc
-
         p = t.column("props")
-        ok = pc.and_(pc.starts_with(p, "{"), pc.ends_with(p, "}"))
-        return ~ok.to_numpy(zero_copy_only=False).astype(bool)
+        ok = pc.and_kleene(pc.starts_with(p, "{"), pc.ends_with(p, "}"))
+        bad = pc.fill_null(pc.invert(ok), False)      # NULL -> no violation
+        return bad.to_numpy(zero_copy_only=False).astype(bool)
 
     return contract_violations(ev, {
         "value_nonneg": value_nonneg,

@@ -136,6 +136,61 @@ def test_contract_violations_counts(ray_session):
     assert out["n_checked"].tolist() == [6, 6]
 
 
+def test_latest_per_key_validates_projection(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.window import latest_per_key
+
+    ds = rd.from_arrow(pa.table({"k": [1], "t": [1], "v": [1]}))
+    with pytest.raises(ValueError, match="must include key"):
+        latest_per_key(ds, key="k", order_cols=["t"], cols=["k", "v"])
+
+
+def test_ordered_prefix_sum_all_null_order_raises(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.packing import ordered_prefix_sum
+
+    ds = rd.from_arrow(pa.table({
+        "o": pa.array([None, None], pa.int64()),
+        "v": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(Exception, match="nulls"):
+        ordered_prefix_sum(ds, order_col="o", value_col="v",
+                           cols=["o", "v"]).materialize()
+
+
+def test_contract_null_semantics(ray_session, tmp_path):
+    """NULL predicate = NOT a violation, matching SQL's COUNT(*) FILTER
+    three-valued logic — verified end-to-end against the DuckDB oracle on
+    a null-bearing events table (the live testdata has no nulls, so this
+    is the only coverage of the divergence ADVICE r04 flagged)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from cutwed_ray.pipelines.queries import SQL_EVENTS_CONTRACT, QUERIES
+
+    ts = pa.array([np.datetime64("2024-01-05", "us"),
+                   np.datetime64("2023-12-31", "us"), None,
+                   np.datetime64("2024-01-20", "us")],
+                  pa.timestamp("us"))
+    t = pa.table({
+        "ts": ts,
+        "event_type": pa.array(["click", "bogus", None, "view"]),
+        "value": pa.array([1.0, -2.0, None, 3.0], pa.float64()),
+        "props": pa.array(['{"a":1}', "oops", None, "{}"]),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (QUERIES["events_contract"](str(tmp_path)).to_pandas()
+           .sort_values("constraint_name").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = (con.execute(SQL_EVENTS_CONTRACT).df()
+           .sort_values("constraint_name").reset_index(drop=True))
+    for c in ["constraint_name", "n_violations", "n_checked"]:
+        assert got[c].tolist() == exp[c].tolist(), c
+
+
 def test_contract_bad_mask_shape_raises(ray_session):
     import ray.data as rd
 
