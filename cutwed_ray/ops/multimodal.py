@@ -44,6 +44,89 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.T
     })
 
 
+def synth_ppm_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic REAL-image table: binary P6 PPM payloads (header +
+    raw RGB raster — the uncompressed interchange format every image tool
+    reads) with splitmix64-derived pixels.  Integer arithmetic only, so
+    the payload bytes are bit-identical on any platform/CPU count.  Row 0
+    carries a deliberately corrupt payload (bad magic) so the per-row
+    ``decode_ok=False`` path is always exercised."""
+    ids = np.arange(n, dtype=np.uint64)
+    w = (8 + splitmix64(ids ^ np.uint64(seed)) % np.uint64(25)).astype(np.int64)
+    h = (8 + splitmix64(ids ^ np.uint64(seed + 1)) % np.uint64(25)).astype(np.int64)
+    payloads = []
+    for i in range(n):
+        wi, hi = int(w[i]), int(h[i])
+        npix = wi * hi * 3
+        j = np.arange(npix, dtype=np.uint64)
+        px = (splitmix64((ids[i] << np.uint64(32)) ^ j)
+              % np.uint64(256)).astype(np.uint8)
+        if i == 0:
+            payloads.append(b"NOTANIMAGE" + px.tobytes()[:64])
+        else:
+            payloads.append(b"P6\n%d %d\n255\n" % (wi, hi) + px.tobytes())
+    return pa.table({
+        "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "media_type": pa.array(["image/x-portable-pixmap"] * n, pa.string()),
+        "width": pa.array(w.astype(np.int32), pa.int32()),
+        "height": pa.array(h.astype(np.int32), pa.int32()),
+    })
+
+
+def decode_ppm(data: bytes) -> np.ndarray | None:
+    """Numpy-only P6 PPM decoder: header parse (whitespace + ``#``
+    comments per the netpbm spec, maxval <= 255) + a zero-copy
+    ``frombuffer`` reshape of the raster.  Returns (h, w, 3) uint8, or
+    None for anything malformed — the caller maps that to
+    ``decode_ok=False``."""
+    if len(data) < 11 or data[:2] != b"P6":
+        return None
+    vals: list[int] = []
+    i, ln = 2, len(data)
+    while len(vals) < 3 and i < ln:
+        c = data[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c in b"#":
+            while i < ln and data[i] not in b"\n":
+                i += 1
+        elif 48 <= c <= 57:
+            j = i
+            while j < ln and 48 <= data[j] <= 57:
+                j += 1
+            vals.append(int(data[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < 3 or i >= ln or data[i] not in b" \t\r\n":
+        return None
+    i += 1                                  # single whitespace after maxval
+    w_, h_, maxval = vals
+    if not (0 < w_ <= 1 << 15 and 0 < h_ <= 1 << 15 and 0 < maxval <= 255):
+        return None
+    need = w_ * h_ * 3
+    if ln - i < need:
+        return None
+    return np.frombuffer(data, np.uint8, count=need, offset=i).reshape(h_, w_, 3)
+
+
+def ppm_block_features(img: np.ndarray, side: int) -> np.ndarray:
+    """(side*side,) float64 block-mean grayscale features in [0, 1]:
+    integer channel+block sums (exact), ONE float64 division at the end —
+    bit-deterministic across platforms."""
+    h_, w_, _ = img.shape
+    gray = img.astype(np.int64).sum(axis=2)           # 0..765 per pixel
+    rb = (np.arange(h_, dtype=np.int64) * side) // h_
+    cb = (np.arange(w_, dtype=np.int64) * side) // w_
+    sums = np.zeros((side, side), dtype=np.int64)
+    np.add.at(sums, (rb[:, None], cb[None, :]), gray)
+    counts = np.outer(np.bincount(rb, minlength=side),
+                      np.bincount(cb, minlength=side)).astype(np.int64)
+    counts[counts == 0] = 1
+    return (sums / (765.0 * counts)).reshape(-1)
+
+
 def _try_import_pil():
     """Import-guarded codec probe: returns the PIL Image module or None.
     Kept as a function (not module-level) so actor workers probe their OWN
@@ -75,14 +158,37 @@ class DecodeImageStage:
     """
 
     def __init__(self, feat_dim: int = 16, real_decode: bool | str = False):
-        if real_decode == "auto":
+        self.codec = "pil"
+        if real_decode == "ppm":
+            # numpy-only uncompressed decoder — REAL decode, no codec lib
+            self.codec, real_decode = "ppm", True
+        elif real_decode == "auto":
             real_decode = _try_import_pil() is not None
-        if real_decode and _try_import_pil() is None:
+        if real_decode and self.codec == "pil" and _try_import_pil() is None:
             raise NotImplementedError(
                 "real image decode requires PIL/libjpeg, not present in this "
-                "container — use real_decode=False (stub) or 'auto'")
+                "container — use real_decode=False (stub), 'auto', or 'ppm' "
+                "for uncompressed netpbm payloads")
         self.real_decode = bool(real_decode)
         self.feat_dim = feat_dim
+
+    def _decode_real_ppm(self, payload: pa.BinaryArray, n: int):
+        """P6 path: numpy header parse + raster reshape (decode_ppm),
+        exact integer block sums -> float64 grid features.  Per-row by
+        necessity (variable-size headers/rasters), but all pixel work is
+        vectorized numpy per image; batch_size stays small per
+        BINARY_BATCH_KWARGS."""
+        side = max(1, int(round(self.feat_dim ** 0.5)))
+        feats = np.zeros((n, self.feat_dim), dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            img = decode_ppm(payload[i].as_py())
+            if img is None:
+                continue
+            f = ppm_block_features(img, side)
+            feats[i, : min(self.feat_dim, f.shape[0])] = f[: self.feat_dim]
+            ok[i] = True
+        return feats, ok
 
     def _decode_real(self, payload: pa.BinaryArray, n: int):
         """PIL path: square grayscale thumbnail, mean-pixel features."""
@@ -108,7 +214,9 @@ class DecodeImageStage:
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
         n = len(t)
-        if self.real_decode:
+        if self.real_decode and self.codec == "ppm":
+            feats, ok = self._decode_real_ppm(payload, n)
+        elif self.real_decode:
             feats, ok = self._decode_real(payload, n)
         else:
             feats = np.empty((n, self.feat_dim), dtype=np.float64)

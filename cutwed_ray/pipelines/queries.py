@@ -1544,19 +1544,42 @@ def q_media_features(sf_dir: str):
     ds = rd.from_arrow(synth_media_table(n, seed=42))
     out = ds.map_batches(DecodeImageStage, fn_constructor_args=(16, False),
                          concurrency=(1, 2), **BINARY_BATCH_KWARGS)
+    return out.map_batches(_flatten_feature_cols, batch_format="pyarrow")
 
-    def flat(t: pa.Table) -> pa.Table:
-        f = t.column("features")
-        if isinstance(f, pa.ChunkedArray):
-            f = f.combine_chunks()
-        m = f.flatten().to_numpy(zero_copy_only=False).reshape(len(t), -1)
-        cols = {"media_id": t.column("media_id")}
-        for j in range(m.shape[1]):
-            cols[f"f{j:02d}"] = pa.array(m[:, j], pa.float64())
-        cols["decode_ok"] = t.column("decode_ok")
-        return pa.table(cols)
 
-    return out.map_batches(flat, batch_format="pyarrow")
+def _flatten_feature_cols(t: pa.Table) -> pa.Table:
+    """fixed_size_list features -> f00..fNN scalar columns (the driver's
+    canonical sort/hash cannot order list cells) + decode_ok."""
+    f = t.column("features")
+    if isinstance(f, pa.ChunkedArray):
+        f = f.combine_chunks()
+    m = f.flatten().to_numpy(zero_copy_only=False).reshape(len(t), -1)
+    cols = {"media_id": t.column("media_id")}
+    for j in range(m.shape[1]):
+        cols[f"f{j:02d}"] = pa.array(m[:, j], pa.float64())
+    cols["decode_ok"] = t.column("decode_ok")
+    return pa.table(cols)
+
+
+def q_media_image_real(sf_dir: str):
+    """REAL multimodal image decode (``ops.multimodal.decode_ppm``): the
+    synthetic table carries genuine binary P6 PPM images (header + RGB
+    raster) and the actor-pool stage decodes them with the numpy-only
+    netpbm decoder — header parse, zero-copy raster reshape, exact
+    integer block sums -> float64 grid features.  No codec library, no
+    hash stub; row 0 is deliberately corrupt to pin the per-row
+    ``decode_ok=False`` path.  Fixture-oracled (bit-deterministic
+    integer pixel synthesis + one IEEE division per feature)."""
+    import ray.data as rd
+
+    from cutwed_ray.ops.multimodal import (BINARY_BATCH_KWARGS,
+                                           DecodeImageStage, synth_ppm_table)
+
+    n = 256 if "0.001" in sf_dir else 1024
+    ds = rd.from_arrow(synth_ppm_table(n, seed=42))
+    out = ds.map_batches(DecodeImageStage, fn_constructor_args=(16, "ppm"),
+                         concurrency=(1, 2), **BINARY_BATCH_KWARGS)
+    return out.map_batches(_flatten_feature_cols, batch_format="pyarrow")
 
 
 def q_events_value_quantiles(sf_dir: str):
@@ -2605,6 +2628,7 @@ QUERIES = {
     "er_clusters_documents": q_er_clusters_documents,
     "link_documents": q_link_documents,
     "media_features": q_media_features,
+    "media_image_real": q_media_image_real,
     "media_audio_energy": q_media_audio_energy,
     "embedding_pca2": q_embedding_pca2,
     "approx_token_freq": q_approx_token_freq,
@@ -2636,6 +2660,7 @@ FIXTURE_ORACLES: dict[str, list[str]] = {
     "er_clusters_documents": ["path"],
     "link_documents": ["id_a", "id_b"],
     "media_features": ["media_id"],
+    "media_image_real": ["media_id"],
     "media_audio_energy": ["media_id", "window_id"],
     "embedding_pca2": ["vec_id"],
     "approx_token_freq": ["token"],

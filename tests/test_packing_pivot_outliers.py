@@ -371,6 +371,49 @@ def test_audio_energy_matches_per_row_loop(ray_session):
         assert out[c].tolist() == want[c].tolist(), c
 
 
+def test_decode_ppm_golden():
+    from cutwed_ray.ops.multimodal import decode_ppm, ppm_block_features
+
+    raster = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    img = decode_ppm(b"P6\n2 2\n255\n" + raster)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0, 0] == 255 and img[1, 1, 2] == 255
+    # netpbm whitespace + comment handling
+    img2 = decode_ppm(b"P6 # comment\n 2\t2 # w h\n255\n" + raster)
+    assert (img2 == img).all()
+    # 1x1 grid feature: mean gray of [255, 255, 255, 765] / 765
+    f = ppm_block_features(img, 1)
+    assert f.shape == (1,) and f[0] == 1530 / (765.0 * 4)
+    # malformed inputs -> None, never raise
+    assert decode_ppm(b"P5\n2 2\n255\n" + raster) is None
+    assert decode_ppm(b"P6\n2 2\n255\n" + raster[:-1]) is None
+    assert decode_ppm(b"P6\n2 2\n70000\n" + raster) is None
+    assert decode_ppm(b"") is None
+
+
+def test_media_image_real_decodes(ray_session):
+    """End-to-end real PPM decode through the actor-pool stage: row 0
+    (corrupt) -> decode_ok=0, every other row's features equal a direct
+    decode_ppm + ppm_block_features computation."""
+    from cutwed_ray.ops.multimodal import (decode_ppm, ppm_block_features,
+                                           synth_ppm_table)
+    from cutwed_ray.pipelines.queries import QUERIES
+
+    out = (QUERIES["media_image_real"]("/root/testdata/sf0.001").to_pandas()
+           .sort_values("media_id").reset_index(drop=True))
+    assert len(out) == 256
+    assert out.decode_ok.tolist() == [False] + [True] * 255
+    t = synth_ppm_table(256, seed=42)
+    fcols = [f"f{j:02d}" for j in range(16)]
+    for mid in (1, 7, 255):
+        img = decode_ppm(t.column("payload")[mid].as_py())
+        want = ppm_block_features(img, 4)
+        got = out.loc[out.media_id == mid, fcols].to_numpy()[0]
+        np.testing.assert_array_equal(got, want)
+    # corrupt row contributes zero features
+    assert (out.loc[out.media_id == 0, fcols].to_numpy() == 0).all()
+
+
 def test_dup_clusters_transitive_and_canonical(ray_session):
     import ray.data as rd
 
