@@ -2558,6 +2558,65 @@ SELECT 'value_nonneg',
 """
 
 
+def q_events_schema_migrate(sf_dir: str):
+    """Schema migration report (``ops.schema.cast_report``): migrate the
+    events table to a declared target schema — user_id int64->int32
+    (range-checked downcast), value float64->int64 (exact-integer cast;
+    fractional values violate), ts->date32 (civil-day partition key),
+    event_type carried — and emit per-column (n_violations, n_ok,
+    checksum) counters in one streaming map-side-combined pass.  The
+    checksum (sum of cast_value mod 1000003 over OK rows) pins the cast
+    OUTPUTS, not just the counts."""
+    from cutwed_ray.ops.schema import CastSpec, cast_report
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
+    return cast_report(ev, [
+        CastSpec("user_id", "int32"),
+        CastSpec("value", "int64_exact"),
+        CastSpec("ts", "date", out_col="event_date"),
+        CastSpec("event_type", "string"),
+    ])
+
+
+SQL_EVENTS_SCHEMA_MIGRATE = """
+SELECT 'event_date' AS column_name,
+       CAST(0 AS BIGINT) AS n_violations,
+       CAST(COUNT(ts) AS BIGINT) AS n_ok,
+       CAST(COALESCE(SUM((((CAST(ts AS DATE) - DATE '1970-01-01') % 1000003)
+                          + 1000003) % 1000003), 0) AS BIGINT) AS checksum
+FROM events
+UNION ALL
+SELECT 'event_type',
+       CAST(0 AS BIGINT),
+       CAST(COUNT(event_type) AS BIGINT),
+       CAST(COALESCE(SUM(length(event_type) % 1000003), 0) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'user_id',
+       CAST(COUNT(*) FILTER (WHERE user_id IS NOT NULL
+                             AND (user_id < -2147483648 OR user_id > 2147483647))
+            AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE user_id BETWEEN -2147483648 AND 2147483647)
+            AS BIGINT),
+       CAST(COALESCE(SUM(((user_id % 1000003) + 1000003) % 1000003)
+                     FILTER (WHERE user_id BETWEEN -2147483648 AND 2147483647),
+                     0) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'value',
+       CAST(COUNT(*) FILTER (WHERE value IS NOT NULL
+                             AND NOT (isfinite(value) AND value = floor(value)
+                                      AND abs(value) <= 9007199254740992.0))
+            AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE isfinite(value) AND value = floor(value)
+                             AND abs(value) <= 9007199254740992.0) AS BIGINT),
+       CAST(COALESCE(SUM(((CAST(value AS BIGINT) % 1000003) + 1000003) % 1000003)
+                     FILTER (WHERE isfinite(value) AND value = floor(value)
+                             AND abs(value) <= 9007199254740992.0), 0) AS BIGINT)
+FROM events
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "exact_cluster": q_exact_cluster,
@@ -2611,6 +2670,7 @@ QUERIES = {
     "events_value_share": q_events_value_share,
     "docs_chunk_stats": q_docs_chunk_stats,
     "events_contract": q_events_contract,
+    "events_schema_migrate": q_events_schema_migrate,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
     "minhash_dup_clusters": q_minhash_dup_clusters,
@@ -2728,6 +2788,7 @@ ORACLE = {
     "events_value_share": SQL_EVENTS_VALUE_SHARE,
     "docs_chunk_stats": SQL_DOCS_CHUNK_STATS,
     "events_contract": SQL_EVENTS_CONTRACT,
+    "events_schema_migrate": SQL_EVENTS_SCHEMA_MIGRATE,
 }
 
 # Deterministic but not ANSI-SQL-expressible queries (custom 64-bit token

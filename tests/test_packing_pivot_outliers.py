@@ -371,6 +371,44 @@ def test_audio_energy_matches_per_row_loop(ray_session):
         assert out[c].tolist() == want[c].tolist(), c
 
 
+def test_schema_migration_edges(ray_session):
+    """apply_migration + cast_report on nulls / out-of-range / NaN / inf:
+    nulls pass through uncounted, uncastables go NULL and count."""
+    import ray.data as rd
+
+    from cutwed_ray.ops.schema import CastSpec, apply_migration, cast_report
+
+    t = pa.table({
+        "i": pa.array([1, 2**31, -(2**31) - 1, None, -5], pa.int64()),
+        "f": pa.array([2.0, 2.5, float("nan"), float("inf"), None],
+                      pa.float64()),
+        "ts": pa.array([np.datetime64("2024-01-02T03:00", "us"),
+                        np.datetime64("1969-12-31T12:00", "us"),
+                        None, np.datetime64("1970-01-01", "us"),
+                        np.datetime64("2024-06-01", "us")],
+                       pa.timestamp("us")),
+        "s": pa.array(["ab", None, "xyz", "", "q"]),
+    })
+    specs = [CastSpec("i", "int32"), CastSpec("f", "int64_exact"),
+             CastSpec("ts", "date", out_col="d"), CastSpec("s", "string")]
+    ds = rd.from_arrow(t).repartition(2)
+    mig = apply_migration(ds, specs).to_pandas()
+    assert mig.columns.tolist() == ["i", "f", "d", "s"]
+    assert mig["i"].tolist()[:2] == [1, None] or mig["i"].notna().sum() == 2
+    rep = (cast_report(ds, specs).to_pandas()
+           .set_index("column_name").sort_index())
+    assert rep.loc["i", "n_violations"] == 2          # 2**31 and -2**31-1
+    assert rep.loc["i", "n_ok"] == 2                  # 1 and -5
+    assert rep.loc["i", "checksum"] == 1 + ((-5) % 1000003)
+    assert rep.loc["f", "n_violations"] == 3          # 2.5, nan, inf
+    assert rep.loc["f", "n_ok"] == 1 and rep.loc["f", "checksum"] == 2
+    assert rep.loc["d", "n_violations"] == 0 and rep.loc["d", "n_ok"] == 4
+    # days: 19724, -1 (floor of 1969-12-31T12:00), 0, 19875
+    assert rep.loc["d", "checksum"] == (19724 + ((-1) % 1000003) + 0 + 19875)
+    assert rep.loc["s", "n_ok"] == 4
+    assert rep.loc["s", "checksum"] == 2 + 3 + 0 + 1
+
+
 def test_decode_ppm_golden():
     from cutwed_ray.ops.multimodal import decode_ppm, ppm_block_features
 
