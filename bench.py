@@ -64,7 +64,78 @@ def corpus_path(n_files: int) -> str:
     return out
 
 
-def run_bench() -> dict:
+#: representative operator queries the default bench sweep runs (order =
+#: execution order); --queries a,b,c restricts the sweep to a subset.
+BENCH_QUERIES = [
+    "minhash_near_dup", "simhash_near_dup", "ngram_jaccard",
+    "token_counts", "text_quality", "lineitem_pricing",
+    "orders_by_segment", "supplier_region_revenue",
+    "order_priority_revenue", "events_hourly",
+    "events_hopping", "events_asof_order",
+    "events_prev_hour", "knn_bruteforce", "knn_ivf",
+    "exact_dedup", "repetition_signals",
+    "embedding_kmeans", "events_value_quantiles",
+    "customers_no_orders", "approx_user_counts",
+    "events_lag_delta", "events_user_cumsum",
+    "docs_stratified_sample", "top_tokens",
+    "docs_redacted", "docs_contamination",
+    "docs_tfidf_top3", "lineitem_corr",
+    "region_nation_rollup", "events_funnel",
+    "embedding_pca2", "events_props_stats",
+    "approx_token_freq", "docs_pack_stats",
+    "events_type_pivot", "events_value_outliers",
+    "events_latest_per_user", "cust_spend_rank",
+    "cust_profile", "order_ship_90d",
+    "events_debounced", "events_value_share",
+    "docs_chunk_stats", "events_contract",
+    "events_schema_migrate", "media_image_real",
+    "media_audio_energy",
+]
+
+
+def _prev_round_queries() -> dict[str, float]:
+    """Per-query seconds from the LATEST driver-recorded BENCH_r*.json —
+    the baseline for the per-query regression guard."""
+    import glob
+    import re
+
+    best_n, path = -1, None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m and int(m.group(1)) > best_n:
+            best_n, path = int(m.group(1)), f
+    if path is None:
+        return {}
+    try:
+        with open(path) as fh:
+            d = json.load(fh)
+        # only comparable at the same scale factor + CPU count
+        if float(d.get("sf", -1)) != float(_sf()) \
+                or int(d.get("num_cpus", -1)) != NUM_CPUS:
+            return {}
+        return dict(d.get("queries") or {})
+    except Exception:
+        return {}
+
+
+def _regressions(results: dict[str, float],
+                 ratio: float = 1.5, floor_sec: float = 0.3) -> list[dict]:
+    """Queries slower than ``ratio``x the previous round (prev >=
+    ``floor_sec`` — sub-floor walls are executor-latency noise).  Walls on
+    this box swing +-25% with ambient load: only trust a non-empty list
+    from a cooled window (uptime 1-min load < 1)."""
+    prev = _prev_round_queries()
+    out = []
+    for k, v in results.items():
+        p = prev.get(k)
+        if p is not None and p >= floor_sec and v > ratio * p:
+            out.append({"query": k, "prev_sec": p, "now_sec": v,
+                        "ratio": round(v / p, 2)})
+    return out
+
+
+def run_bench(only: set[str] | None = None) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -92,16 +163,19 @@ def run_bench() -> dict:
     # skipping ~30 s of operator queries keeps BOTH legs of a scaling pair
     # inside one host-throughput phase (the phase-paired protocol's point)
     er_only = os.environ.get("GRAFT_BENCH_ER_ONLY") == "1"
+    run_er_headline = only is None or "er_synthetic" in only
 
     # warm-up: page cache for inputs AND worker-process imports + the
     # compiled kernel (first pipeline execution otherwise pays ~1-2 s of
     # module imports in every Ray worker)
-    rd.read_parquet(f"{cpath}/files").count()
+    if run_er_headline:
+        rd.read_parquet(f"{cpath}/files").count()
     if not er_only:
         for t in ("documents", "lineitem", "events", "embeddings"):
             rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
-    score_pairs(rd.read_parquet(f"{cpath}/files").limit(1000),
-                default_config(), n_buckets=8).count()
+    if run_er_headline:
+        score_pairs(rd.read_parquet(f"{cpath}/files").limit(1000),
+                    default_config(), n_buckets=8).count()
 
     results: dict[str, float] = {}
     extras: dict = {}
@@ -130,50 +204,34 @@ def run_bench() -> dict:
     # Small corpora floor at ~300 rows/bucket (20k rows @ 8 CPUs: 32
     # buckets beat 96, 4.3 vs 4.6 s — shallow optimum, rows-bound).
     n_buckets = min(12 * NUM_CPUS, max(2 * NUM_CPUS, n_files // 300))
-    for _ in range(n_passes):
-        t0 = time.time()
-        res = run_er(rd.read_parquet(f"{cpath}/files"), cfg,
-                     n_buckets=n_buckets, strategy="broadcast")
-        n_clusters_rows = res.clusters.count()
-        er_sec = min(er_sec, time.time() - t0)
-    results["er_synthetic"] = round(er_sec, 3)
-    n_pairs = res.metrics.get("n_pairs_scored", 0)
-    extras["er"] = {
-        "n_files": n_files,
-        "n_pairs_scored": n_pairs,
-        "pairs_per_sec": round(n_pairs / er_sec, 1),
-        "n_edges": res.metrics.get("n_edges"),
-        "rows_labeled": n_clusters_rows,
-    }
+    if run_er_headline:
+        for _ in range(n_passes):
+            t0 = time.time()
+            res = run_er(rd.read_parquet(f"{cpath}/files"), cfg,
+                         n_buckets=n_buckets, strategy="broadcast")
+            n_clusters_rows = res.clusters.count()
+            er_sec = min(er_sec, time.time() - t0)
+        results["er_synthetic"] = round(er_sec, 3)
+        n_pairs = res.metrics.get("n_pairs_scored", 0)
+        extras["er"] = {
+            "n_files": n_files,
+            "n_pairs_scored": n_pairs,
+            "pairs_per_sec": round(n_pairs / er_sec, 1),
+            "n_edges": res.metrics.get("n_edges"),
+            "rows_labeled": n_clusters_rows,
+        }
 
     if not er_only:
         # --- flagship over the testdata documents table ---
-        t0 = time.time()
-        Q.q_er_clusters_documents(SF_DIR).to_pandas()
-        results["er_documents"] = round(time.time() - t0, 3)
+        if only is None or "er_documents" in only:
+            t0 = time.time()
+            Q.q_er_clusters_documents(SF_DIR).to_pandas()
+            results["er_documents"] = round(time.time() - t0, 3)
 
         # --- representative operator queries ---
-        for name in ["minhash_near_dup", "simhash_near_dup", "ngram_jaccard",
-                     "token_counts", "text_quality", "lineitem_pricing",
-                     "order_priority_revenue", "events_hourly",
-                     "events_hopping", "events_asof_order",
-                     "events_prev_hour", "knn_bruteforce", "knn_ivf",
-                     "exact_dedup", "repetition_signals",
-                     "embedding_kmeans", "events_value_quantiles",
-                     "customers_no_orders", "approx_user_counts",
-                     "events_lag_delta", "events_user_cumsum",
-                     "docs_stratified_sample", "top_tokens",
-                     "docs_redacted", "docs_contamination",
-                     "docs_tfidf_top3", "lineitem_corr",
-                     "region_nation_rollup", "events_funnel",
-                     "embedding_pca2", "events_props_stats",
-                     "approx_token_freq", "docs_pack_stats",
-                     "events_type_pivot", "events_value_outliers",
-                     "events_latest_per_user", "cust_spend_rank",
-                     "cust_profile", "order_ship_90d",
-                     "events_debounced", "events_value_share",
-                     "docs_chunk_stats", "events_contract",
-                     "media_audio_energy"]:
+        for name in BENCH_QUERIES:
+            if only is not None and name not in only:
+                continue
             t0 = time.time()
             out = Q.QUERIES[name](SF_DIR)
             # consume without materializing to the driver more than needed
@@ -182,7 +240,8 @@ def run_bench() -> dict:
 
     ray.shutdown()
 
-    headline = results["er_synthetic"]
+    headline = results.get("er_synthetic",
+                           next(iter(results.values()), 0.0))
     return {
         "metric": "er_synthetic_wall_sec",
         "value": headline,
@@ -190,6 +249,7 @@ def run_bench() -> dict:
         "queries": results,
         "sf": float(sf),
         "num_cpus": NUM_CPUS,
+        "regressions": _regressions(results),
         **extras,
     }
 
@@ -353,4 +413,14 @@ if __name__ == "__main__":
     elif "--kernel" in sys.argv:
         print(json.dumps(run_kernel()))
     else:
-        print(json.dumps(run_bench()))
+        only = None
+        if "--queries" in sys.argv:
+            # --queries a,b,c : run only that subset (er_synthetic /
+            # er_documents included only if named) — the per-query
+            # attribution tool for regression triage
+            only = set(sys.argv[sys.argv.index("--queries") + 1].split(","))
+            unknown = only - set(BENCH_QUERIES) \
+                - {"er_synthetic", "er_documents"}
+            if unknown:
+                sys.exit(f"unknown bench queries: {sorted(unknown)}")
+        print(json.dumps(run_bench(only)))
