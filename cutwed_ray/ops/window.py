@@ -251,3 +251,129 @@ def _bucket_ids(keys: np.ndarray) -> np.ndarray:
     from cutwed_ray.pipelines.queries import _key_bucket
 
     return _key_bucket(keys)
+
+
+def grouped_rank_ntile(ds, *, group_col: str, order_col: str,
+                       tiebreak: str, k: int, cols: list[str],
+                       rank_col: str = "rk", tile_col: str = "tile",
+                       n_buckets: int | None = None):
+    """Per-group ``ROW_NUMBER()`` + ``NTILE(k)`` (1-based, SQL semantics)
+    over ``(order_col, tiebreak)`` ascending — quartile/decile feature
+    binning and per-partition ranking WITHOUT a per-group all-to-all
+    sort.
+
+    Scale shape (the grouped twin of ``ops.packing.ordered_prefix_sum``):
+
+    1. one tiny groupby gets each group's (min, max, n) of ``order_col``;
+    2. one streaming pass histograms per-(group, range-bucket) counts —
+       O(groups x buckets) fixed-width rows, prefix-summed on the driver
+       into per-bucket START RANKS (equal order values always land in the
+       same bucket, so ties never cross buckets);
+    3. one coarse (group, bucket) shuffle; each bucket task sorts ITS
+       rows by (order, tiebreak) and assigns rank = start + position.
+
+    ``NTILE``: with n rows and q = n // k, r = n % k, SQL gives the first
+    r tiles q+1 rows — tile(rank0) = rank0 // (q+1) while rank0 <
+    r*(q+1), else r + (rank0 - r*(q+1)) // q; both engines evaluate the
+    same integer formula, so the output is exactly replayable.
+
+    Partitioning assumptions (documented limits): the GROUP domain is
+    small (event types / langs / shards — coarse-bucket upstream for
+    unbounded domains); range buckets assume non-pathological order-value
+    spread (a single hot (group, value) lands in one task).  The
+    (order, tiebreak) pair must be unique per group — duplicate pairs
+    raise (rank would be scheduling-dependent).  ``order_col`` and
+    ``tiebreak`` must be int64-exact (ints or timestamps).  The scan
+    executes its input three times — feed a LIGHT materialized
+    projection.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from cutwed_ray.stages.cluster import coarse_buckets
+
+    nb = int(n_buckets or coarse_buckets())
+    if k < 1:
+        raise ValueError("ntile k must be >= 1")
+
+    mm = (ds.groupby(group_col)
+            .aggregate(Min(order_col), Max(order_col), Count())
+            .to_pandas())
+    if len(mm) == 0:
+        def empty(t: pa.Table) -> pa.Table:
+            out = t.select(cols)
+            out = out.append_column(rank_col, pa.array([], pa.int64()))
+            return out.append_column(tile_col, pa.array([], pa.int64()))
+
+        return ds.map_batches(empty, batch_format="pyarrow")
+    mm = mm.sort_values(group_col, kind="stable").reset_index(drop=True)
+    gkeys = pa.array(mm[group_col])
+    lo = mm[f"min({order_col})"].to_numpy()
+    hi = mm[f"max({order_col})"].to_numpy()
+    if pd.isna(lo).any():
+        raise ValueError(f"grouped_rank_ntile: {order_col} has nulls")
+    lo = lo.astype(np.int64)
+    width = np.maximum(1, -(-(hi.astype(np.int64) - lo + 1) // nb))
+    n_g = mm["count()"].to_numpy().astype(np.int64)
+
+    def _gb(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        gi = pc.index_in(t.column(group_col), value_set=gkeys) \
+               .to_numpy(zero_copy_only=False)
+        if pd.isna(gi).any():
+            raise ValueError("group value absent from min/max pass "
+                             "(mutated input between executions?)")
+        gi = gi.astype(np.int64)
+        v = _time_i64(t.column(order_col).to_pandas(), "order")
+        b = np.clip((v - lo[gi]) // width[gi], 0, nb - 1)
+        return gi, gi * np.int64(nb) + b
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, gb = _gb(t)
+        cnt = np.bincount(gb, minlength=len(n_g) * nb).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"_gb": pa.array(nz, pa.int64()),
+                         "_c": pa.array(cnt[nz], pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("_gb").aggregate(Sum("_c", alias_name="_c"))
+              .to_pandas())
+    counts = np.zeros(len(n_g) * nb, dtype=np.int64)
+    counts[hist["_gb"].to_numpy()] = hist["_c"].to_numpy().astype(np.int64)
+    # exclusive prefix WITHIN each group (bucket-major per group)
+    offs = counts.reshape(len(n_g), nb)
+    offs = np.concatenate([np.zeros((len(n_g), 1), np.int64),
+                           np.cumsum(offs, axis=1)[:, :-1]], axis=1).reshape(-1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        _, gb = _gb(t)
+        return t.select(sorted(set(cols + [group_col, order_col, tiebreak]))) \
+                .append_column("_gb", pa.array(gb, pa.int64()))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        gb = int(g["_gb"].iloc[0])
+        gi = gb // nb
+        v = _time_i64(g[order_col], "order")
+        tb = _time_i64(g[tiebreak], "tiebreak")
+        order = np.lexsort((tb, v))
+        if order.shape[0] > 1:
+            vs, ts_ = v[order], tb[order]
+            if ((vs[1:] == vs[:-1]) & (ts_[1:] == ts_[:-1])).any():
+                raise ValueError("grouped_rank_ntile: duplicate "
+                                 f"({order_col}, {tiebreak}) pair in group")
+        rank0 = np.empty(order.shape[0], dtype=np.int64)
+        rank0[order] = np.int64(offs[gb]) + np.arange(order.shape[0],
+                                                      dtype=np.int64)
+        n = n_g[gi]
+        q, r = n // k, n % k
+        cut = r * (q + 1)
+        small = rank0 < cut
+        tile = np.where(small, rank0 // max(q + 1, 1),
+                        r + (rank0 - cut) // max(q, 1))
+        out = g[cols].copy()
+        out[rank_col] = rank0 + 1
+        out[tile_col] = tile + 1
+        return out.reset_index(drop=True)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("_gb")
+              .map_groups(finish, batch_format="pandas"))

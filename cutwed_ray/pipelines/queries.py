@@ -2617,6 +2617,43 @@ FROM events
 """
 
 
+def q_events_value_ntile(sf_dir: str):
+    """Per-group ROW_NUMBER + NTILE(4) (``ops.window.grouped_rank_ntile``):
+    each event ranked and quartile-binned within its event_type by exact
+    value-micros (event_id tiebreak) — the grouped twin of the global
+    prefix scan: per-(group, range-bucket) histogram, driver holds
+    O(groups x buckets) start ranks, one coarse shuffle, no per-group
+    all-to-all sort.  Light projection materialized once (3 executions)."""
+    from cutwed_ray.ops.window import grouped_rank_ntile
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def micros(t: pa.Table) -> pa.Table:
+        vu = np.floor(t.column("value").to_numpy() * 1e6 + 0.5
+                      ).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "value_u": pa.array(vu, pa.int64())})
+
+    light = ev.map_batches(micros, batch_format="pyarrow").materialize()
+    return grouped_rank_ntile(light, group_col="event_type",
+                              order_col="value_u", tiebreak="event_id", k=4,
+                              cols=["event_id", "event_type", "value_u"])
+
+
+SQL_EVENTS_VALUE_NTILE = """
+WITH vu AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS value_u
+  FROM events)
+SELECT event_id, event_type, value_u,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rk,
+       CAST(NTILE(4) OVER w AS BIGINT) AS tile
+FROM vu
+WINDOW w AS (PARTITION BY event_type ORDER BY value_u, event_id)
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "exact_cluster": q_exact_cluster,
@@ -2671,6 +2708,7 @@ QUERIES = {
     "docs_chunk_stats": q_docs_chunk_stats,
     "events_contract": q_events_contract,
     "events_schema_migrate": q_events_schema_migrate,
+    "events_value_ntile": q_events_value_ntile,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
     "minhash_dup_clusters": q_minhash_dup_clusters,
@@ -2789,6 +2827,7 @@ ORACLE = {
     "docs_chunk_stats": SQL_DOCS_CHUNK_STATS,
     "events_contract": SQL_EVENTS_CONTRACT,
     "events_schema_migrate": SQL_EVENTS_SCHEMA_MIGRATE,
+    "events_value_ntile": SQL_EVENTS_VALUE_NTILE,
 }
 
 # Deterministic but not ANSI-SQL-expressible queries (custom 64-bit token

@@ -97,3 +97,43 @@ def test_window_rejects_nulls(ray_session):
                    tiebreak="event_id", cols=["event_id"])
     with pytest.raises(Exception, match="null"):
         ds.materialize()
+
+
+def test_grouped_rank_ntile_small_groups(ray_session):
+    """n < k gives each row its own tile (SQL NTILE semantics); ranks are
+    1-based per group."""
+    import ray.data as rd
+
+    from cutwed_ray.ops.window import grouped_rank_ntile
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "b", "b", "b", "b"]),
+        "v": pa.array([30, 10, 20, 5, 4, 3, 2, 1], pa.int64()),
+        "i": pa.array(list(range(8)), pa.int64()),
+    })
+    out = (grouped_rank_ntile(rd.from_arrow(t).repartition(3),
+                              group_col="g", order_col="v", tiebreak="i",
+                              k=4, cols=["g", "v", "i"])
+           .to_pandas().sort_values(["g", "rk"]).reset_index(drop=True))
+    a = out[out.g == "a"]
+    assert a["v"].tolist() == [10, 20, 30]
+    assert a["rk"].tolist() == [1, 2, 3]
+    assert a["tile"].tolist() == [1, 2, 3]          # n=3 < k=4
+    b = out[out.g == "b"]
+    assert b["v"].tolist() == [1, 2, 3, 4, 5]
+    assert b["rk"].tolist() == [1, 2, 3, 4, 5]
+    assert b["tile"].tolist() == [1, 1, 2, 3, 4]    # q=1, r=1: sizes 2,1,1,1
+
+
+def test_grouped_rank_ntile_duplicate_pair_raises(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.window import grouped_rank_ntile
+
+    t = pa.table({"g": pa.array(["a", "a"]),
+                  "v": pa.array([1, 1], pa.int64()),
+                  "i": pa.array([7, 7], pa.int64())})
+    with pytest.raises(Exception, match="duplicate"):
+        grouped_rank_ntile(rd.from_arrow(t), group_col="g", order_col="v",
+                           tiebreak="i", k=2,
+                           cols=["g", "v", "i"]).materialize()
