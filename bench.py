@@ -88,7 +88,8 @@ BENCH_QUERIES = [
     "cust_profile", "order_ship_90d",
     "events_debounced", "events_value_share",
     "docs_chunk_stats", "events_contract",
-    "events_schema_migrate", "events_value_ntile", "media_image_real",
+    "events_schema_migrate", "events_value_ntile",
+    "events_value_quantiles_cont", "order_fulfillment", "media_image_real",
     "media_audio_energy",
 ]
 

