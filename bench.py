@@ -89,7 +89,8 @@ BENCH_QUERIES = [
     "events_debounced", "events_value_share",
     "docs_chunk_stats", "events_contract",
     "events_schema_migrate", "events_value_ntile",
-    "events_value_quantiles_cont", "order_fulfillment", "media_image_real",
+    "events_value_quantiles_cont", "order_fulfillment",
+    "events_retention", "media_image_real",
     "media_audio_energy",
 ]
 

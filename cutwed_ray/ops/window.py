@@ -377,3 +377,75 @@ def grouped_rank_ntile(ds, *, group_col: str, order_col: str,
     return (ds.map_batches(tag, batch_format="pyarrow")
               .groupby("_gb")
               .map_groups(finish, batch_format="pandas"))
+
+
+def hourly_retention(ds, *, user_col: str, ts_col: str,
+                     bucket_us: int = 3_600_000_000):
+    """Cohort retention curve: per time bucket (hour by default), how many
+    distinct users were active, and how many of those were ALSO active in
+    the NEXT bucket — the consecutive-period retention metric every
+    engagement pipeline reports.
+
+    Scale shape: each batch reduces to its distinct light (user, bucket)
+    pairs (map-side dedup — the shuffle carries O(active-pairs), never
+    events); one coarse USER-bucket shuffle co-locates each user's
+    periods, so global dedup + the (h, h+1) consecutive check are one
+    vectorized lexsort + shifted compare per group (users partition
+    cleanly across buckets — per-bucket distinct IS globally distinct);
+    per-group per-hour partial counts then sum in one tiny groupby.
+    No self-join of the activity table (the SQL formulation's
+    uh JOIN uh is replayed as the shifted compare).
+    """
+    from ray.data.aggregate import Sum
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t.column(user_col)
+        if u.null_count:
+            raise ValueError(f"retention user column {user_col!r} has nulls")
+        u = u.to_numpy().astype(np.int64, copy=False)
+        h = _time_i64(t.column(ts_col).to_pandas(), "time") // np.int64(bucket_us)
+        order = np.lexsort((h, u))
+        us_, hs_ = u[order], h[order]
+        keep = np.ones(us_.shape[0], dtype=bool)
+        keep[1:] = (us_[1:] != us_[:-1]) | (hs_[1:] != hs_[:-1])
+        from cutwed_ray.pipelines.queries import _key_bucket
+
+        return pa.table({
+            "_u": pa.array(us_[keep], pa.int64()),
+            "_h": pa.array(hs_[keep], pa.int64()),
+            "_wbkt": pa.array(_key_bucket(us_[keep]), pa.int32()),
+        })
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["_u"].to_numpy()
+        h = g["_h"].to_numpy()
+        order = np.lexsort((h, u))
+        u, h = u[order], h[order]
+        keep = np.ones(u.shape[0], dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (h[1:] != h[:-1])
+        u, h = u[keep], h[keep]
+        retained = np.zeros(u.shape[0], dtype=np.int64)
+        retained[:-1] = (u[1:] == u[:-1]) & (h[1:] == h[:-1] + 1)
+        out = pd.DataFrame({"hour_id": h, "_act": np.ones(h.shape[0],
+                                                          dtype=np.int64),
+                            "_ret": retained})
+        return out.groupby("hour_id", as_index=False).sum()
+
+    agg = (ds.map_batches(pairs, batch_format="pyarrow")
+             .groupby("_wbkt")
+             .map_groups(reduce_bucket, batch_format="pandas")
+             .groupby("hour_id")
+             .aggregate(Sum("_act", alias_name="n_active"),
+                        Sum("_ret", alias_name="n_retained")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour_id": pa.array(t.column("hour_id").to_numpy()
+                                .astype(np.int64), pa.int64()),
+            "n_active": pa.array(t.column("n_active").to_numpy()
+                                 .astype(np.int64), pa.int64()),
+            "n_retained": pa.array(t.column("n_retained").to_numpy()
+                                   .astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

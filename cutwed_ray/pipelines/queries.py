@@ -2753,6 +2753,31 @@ FROM orders o LEFT JOIN la ON o.o_orderkey = la.l_orderkey
 """
 
 
+def q_events_retention(sf_dir: str):
+    """Hour-over-hour cohort retention (``ops.window.hourly_retention``):
+    per hour, distinct active users and how many return the NEXT hour —
+    map-side (user, hour) dedup, one coarse user-bucket shuffle, the
+    SQL self-join replayed as a vectorized shifted compare.  SQL-oracled
+    vs DISTINCT + self-join."""
+    from cutwed_ray.ops.window import hourly_retention
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return hourly_retention(ev, user_col="user_id", ts_col="ts")
+
+
+SQL_EVENTS_RETENTION = """
+WITH uh AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS h FROM events),
+act AS (SELECT h, count(*) AS n_active FROM uh GROUP BY 1),
+ret AS (SELECT a.h, count(*) AS n_retained
+        FROM uh a JOIN uh b USING (user_id)
+        WHERE b.h = a.h + 1 GROUP BY 1)
+SELECT act.h AS hour_id, CAST(act.n_active AS BIGINT) AS n_active,
+       CAST(COALESCE(ret.n_retained, 0) AS BIGINT) AS n_retained
+FROM act LEFT JOIN ret ON act.h = ret.h
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "exact_cluster": q_exact_cluster,
@@ -2810,6 +2835,7 @@ QUERIES = {
     "events_value_ntile": q_events_value_ntile,
     "events_value_quantiles_cont": q_events_value_quantiles_cont,
     "order_fulfillment": q_order_fulfillment,
+    "events_retention": q_events_retention,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
     "minhash_dup_clusters": q_minhash_dup_clusters,
@@ -2931,6 +2957,7 @@ ORACLE = {
     "events_value_ntile": SQL_EVENTS_VALUE_NTILE,
     "events_value_quantiles_cont": SQL_EVENTS_VALUE_QUANTILES_CONT,
     "order_fulfillment": SQL_ORDER_FULFILLMENT,
+    "events_retention": SQL_EVENTS_RETENTION,
 }
 
 # Deterministic but not ANSI-SQL-expressible queries (custom 64-bit token

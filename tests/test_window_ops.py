@@ -137,3 +137,27 @@ def test_grouped_rank_ntile_duplicate_pair_raises(ray_session):
         grouped_rank_ntile(rd.from_arrow(t), group_col="g", order_col="v",
                            tiebreak="i", k=2,
                            cols=["g", "v", "i"]).materialize()
+
+
+def test_hourly_retention_brute_force(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.window import hourly_retention
+
+    rng = np.random.default_rng(9)
+    n = 400
+    u = rng.integers(0, 25, n).astype(np.int64)
+    ts = rng.integers(0, 10 * 3_600_000_000, n).astype(np.int64)
+    t = pa.table({"user_id": pa.array(u, pa.int64()),
+                  "ts": pa.array(ts.astype("datetime64[us]"),
+                                 pa.timestamp("us"))})
+    out = (hourly_retention(rd.from_arrow(t).repartition(4),
+                            user_col="user_id", ts_col="ts")
+           .to_pandas().set_index("hour_id").sort_index())
+    h = ts // 3_600_000_000
+    pairs = set(zip(u.tolist(), h.tolist()))
+    for hour in sorted(set(h.tolist())):
+        act = {uu for uu, hh in pairs if hh == hour}
+        ret = {uu for uu in act if (uu, hour + 1) in pairs}
+        assert out.loc[hour, "n_active"] == len(act)
+        assert out.loc[hour, "n_retained"] == len(ret)
