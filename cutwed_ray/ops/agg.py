@@ -396,14 +396,21 @@ def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
     out_cols = [prefix + c for c in cats] + [total_col]
     cat_idx = {c: i for i, c in enumerate(cats)}
 
+    cat_arr = pa.array(cats, pa.string())
+
     def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         k = t.column(key_col).to_numpy()
-        ci = t.column(cat_col).to_pandas().map(cat_idx)
-        if ci.isna().any():
-            bad = t.column(cat_col).to_pandas()[ci.isna()].unique()[:5]
+        # vectorized dictionary lookup (one Arrow kernel, no per-row
+        # Python dict probe)
+        ci = pc.index_in(t.column(cat_col), value_set=cat_arr) \
+               .to_numpy(zero_copy_only=False)
+        if pd.isna(ci).any():
+            bad = t.column(cat_col).to_pandas()[pd.isna(ci)].unique()[:5]
             raise ValueError(f"pivot saw categories outside the dictionary: "
                              f"{list(bad)}")
-        codes = ci.to_numpy(dtype=np.int64)
+        codes = ci.astype(np.int64)
         uk, kc = np.unique(k, return_inverse=True)
         mat = np.zeros((len(uk), len(cats)), dtype=np.int64)
         np.add.at(mat, (kc, codes), 1)

@@ -1905,37 +1905,60 @@ def q_region_nation_rollup(sf_dir: str):
     subtotal levels derived from the small aggregate
     (``ops.agg.rollup_sum``).  Rolled-up slots carry the 'ALL' sentinel
     (oracle: GROUP BY ROLLUP + COALESCE)."""
-    import ray
-
     from cutwed_ray.ops.agg import rollup_sum
+    from cutwed_ray.ops.broadcast import (build_lookup_async,
+                                          grouped_sum_count, probe_codes)
 
-    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    nat = _read(sf_dir, "nation",
-                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
-    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    n2r = dict(zip(nat.n_nationkey, nat.n_regionkey))
-    n2name = dict(zip(nat.n_nationkey, nat.n_name))
-    r2name = dict(zip(reg.r_regionkey, reg.r_name))
-    lookup_ref = ray.put({
-        k: (r2name[n2r[v]], n2name[v])
-        for k, v in zip(sup.s_suppkey, sup.s_nationkey)})
+    # supplier -> "r_name\x1fn_name" lookup built in ONE remote task (the
+    # SF-proportional supplier table never lands on the driver — the same
+    # ops/broadcast shape as supplier_region_revenue); the composite value
+    # dictionary-encodes to <= |nations| categories
+    def build(sup_p, nat_p, reg_p):
+        import pyarrow.parquet as pq
 
+        sup = pq.read_table(sup_p, columns=["s_suppkey", "s_nationkey"])
+        nat = pq.read_table(nat_p,
+                            columns=["n_nationkey", "n_name", "n_regionkey"])
+        reg = pq.read_table(reg_p, columns=["r_regionkey", "r_name"])
+        nk = nat.column("n_nationkey").to_numpy().astype(np.int64)
+        o_n = np.argsort(nk, kind="stable")
+        nk = nk[o_n]
+        n2r = nat.column("n_regionkey").to_numpy().astype(np.int64)[o_n]
+        n_names = np.asarray(nat.column("n_name").to_pylist(),
+                             dtype=object)[o_n]
+        rk = reg.column("r_regionkey").to_numpy().astype(np.int64)
+        o_r = np.argsort(rk, kind="stable")
+        rk = rk[o_r]
+        r_names = np.asarray(reg.column("r_name").to_pylist(),
+                             dtype=object)[o_r]
+        s_nat_pos = np.searchsorted(nk, sup.column("s_nationkey")
+                                    .to_numpy().astype(np.int64))
+        combo = np.char.add(
+            np.char.add(r_names[np.searchsorted(
+                rk, n2r[s_nat_pos])].astype(str), "\x1f"),
+            n_names[s_nat_pos].astype(str))
+        return sup.column("s_suppkey").to_numpy(), pa.array(combo)
+
+    ref = build_lookup_async(build, f"{sf_dir}/supplier.parquet",
+                             f"{sf_dir}/nation.parquet",
+                             f"{sf_dir}/region.parquet")
     ds = _read(sf_dir, "lineitem",
                ["l_suppkey", "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
-        lk = ray.get(lookup_ref)
-        df = t.to_pandas()
-        rn = df.l_suppkey.map(lk)
-        df["r_name"] = rn.str[0]
-        df["n_name"] = rn.str[1]
-        df["rev_cents"] = np.floor(
-            df.l_extendedprice * (1 - df.l_discount) * 100 + 0.5
-        ).astype(np.int64)
-        g = df.groupby(["r_name", "n_name"], as_index=False).agg(
-            revenue_cents=("rev_cents", "sum"), n_rows=("rev_cents", "size"))
-        g["n_rows"] = g.n_rows.astype(np.int64)
-        return _pt(g)
+        codes, found, cats = probe_codes(ref, t.column("l_suppkey").to_numpy())
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * (1 - t.column("l_discount").to_numpy()) * 100
+                       + 0.5).astype(np.int64)
+        cnt, sm = grouped_sum_count(codes, found, rev, len(cats))
+        nz = np.flatnonzero(cnt)
+        pairs = [c.split("\x1f") for c in cats.take(pa.array(nz)).to_pylist()]
+        return pa.table({
+            "r_name": pa.array([p[0] for p in pairs], pa.string()),
+            "n_name": pa.array([p[1] for p in pairs], pa.string()),
+            "revenue_cents": pa.array(sm[nz], pa.int64()),
+            "n_rows": pa.array(cnt[nz], pa.int64()),
+        })
 
     pre = ds.map_batches(partial, batch_format="pyarrow")
     return rollup_sum(pre, ["r_name", "n_name"], "revenue_cents",
