@@ -449,3 +449,50 @@ def hourly_retention(ds, *, user_col: str, ts_col: str,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def rolling_mean(ds, *, key: str, time: str, tiebreak: str, value: str,
+                 window_rows: int, cols: list[str],
+                 out_col: str = "rolling_mean"):
+    """Per row: float64 mean of ``value`` over the SAME key's last
+    ``window_rows`` rows up to and including this one, in (time,
+    tiebreak) order — ``AVG(v) OVER (PARTITION BY key ORDER BY ...
+    ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``, the bounded-frame
+    window class (smoothing / rate features) the unbounded
+    :func:`running_sum` doesn't cover.
+
+    Exactness: ``value`` must be an exact integer unit; the rolling SUM
+    is an int64 cumsum difference, and the mean is ONE float64 division
+    ``sum / count`` on both engines — bit-identical to the SQL oracle,
+    no tolerance.  Scale shape: identical to :func:`lag_delta` (coarse
+    key-bucket shuffle, one lexsort + vectorized cumsum-diff per
+    bucket, light projected rows).
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, time, tiebreak], kind="stable")
+        _time_i64(g[time], "time")          # null check only
+        if g[value].isna().any():
+            raise ValueError(f"window value column {value!r} has nulls")
+        v = g[value].to_numpy().astype(np.int64)
+        k = g[key].to_numpy()
+        n = v.shape[0]
+        cum = np.concatenate(([0], np.cumsum(v)))        # len n+1
+        # per-row start of its key run
+        run_start = np.zeros(n, dtype=np.int64)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = k[1:] != k[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(new_key, np.arange(n, dtype=np.int64), 0))
+        lo = np.maximum(np.arange(n, dtype=np.int64) - (window_rows - 1),
+                        run_start)
+        s = cum[np.arange(1, n + 1)] - cum[lo]
+        cnt = np.arange(n, dtype=np.int64) - lo + 1
+        out = g[cols].reset_index(drop=True)
+        out[out_col] = s.astype(np.float64) / cnt.astype(np.float64)
+        return out
+
+    return (_bucketize(ds, key).groupby("_wbkt")
+            .map_groups(roll_bucket, batch_format="pandas"))

@@ -2801,6 +2801,41 @@ FROM act LEFT JOIN ret ON act.h = ret.h
 """
 
 
+def q_events_rolling_value(sf_dir: str):
+    """Bounded-frame window (``ops.window.rolling_mean``): per user, the
+    mean value-micros of the last 3 events (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW) — int64 cumsum-difference rolling sum, ONE float64
+    division per row, bit-identical to the SQL oracle."""
+    from cutwed_ray.ops.window import rolling_mean
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def micros(t: pa.Table) -> pa.Table:
+        vu = np.floor(t.column("value").to_numpy() * 1e6 + 0.5
+                      ).astype(np.int64)
+        return (t.drop_columns(["value"])
+                 .append_column("value_u", pa.array(vu, pa.int64())))
+
+    light = ev.map_batches(micros, batch_format="pyarrow")
+    return rolling_mean(light, key="user_id", time="ts",
+                        tiebreak="event_id", value="value_u", window_rows=3,
+                        cols=["event_id", "user_id", "value_u"])
+
+
+SQL_EVENTS_ROLLING_VALUE = """
+WITH vu AS (
+  SELECT event_id, user_id, ts,
+         CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS value_u
+  FROM events)
+SELECT event_id, user_id, value_u,
+       CAST(SUM(value_u) OVER w AS DOUBLE)
+         / CAST(COUNT(*) OVER w AS DOUBLE) AS rolling_mean
+FROM vu
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "exact_cluster": q_exact_cluster,
@@ -2859,6 +2894,7 @@ QUERIES = {
     "events_value_quantiles_cont": q_events_value_quantiles_cont,
     "order_fulfillment": q_order_fulfillment,
     "events_retention": q_events_retention,
+    "events_rolling_value": q_events_rolling_value,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
     "minhash_dup_clusters": q_minhash_dup_clusters,
@@ -2981,6 +3017,7 @@ ORACLE = {
     "events_value_quantiles_cont": SQL_EVENTS_VALUE_QUANTILES_CONT,
     "order_fulfillment": SQL_ORDER_FULFILLMENT,
     "events_retention": SQL_EVENTS_RETENTION,
+    "events_rolling_value": SQL_EVENTS_ROLLING_VALUE,
 }
 
 # Deterministic but not ANSI-SQL-expressible queries (custom 64-bit token

@@ -161,3 +161,31 @@ def test_hourly_retention_brute_force(ray_session):
         ret = {uu for uu in act if (uu, hour + 1) in pairs}
         assert out.loc[hour, "n_active"] == len(act)
         assert out.loc[hour, "n_retained"] == len(ret)
+
+
+def test_rolling_mean_brute_force(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.window import rolling_mean
+
+    rng = np.random.default_rng(13)
+    n = 300
+    k = rng.integers(0, 12, n).astype(np.int64)
+    t = rng.integers(0, 10_000, n).astype(np.int64)
+    i = np.arange(n, dtype=np.int64)
+    v = rng.integers(-500, 500, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(k, pa.int64()), "t": pa.array(t, pa.int64()),
+        "i": pa.array(i, pa.int64()), "v": pa.array(v, pa.int64())}))
+    out = (rolling_mean(ds.repartition(4), key="k", time="t", tiebreak="i",
+                        value="v", window_rows=3, cols=["k", "t", "i", "v"])
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    import pandas as pd
+    df = pd.DataFrame({"k": k, "t": t, "i": i, "v": v}) \
+        .sort_values(["k", "t", "i"], kind="stable")
+    want = (df.groupby("k")["v"]
+              .rolling(3, min_periods=1).mean()
+              .reset_index(level=0, drop=True))
+    df["w"] = want
+    df = df.sort_values("i").reset_index(drop=True)
+    assert (out["rolling_mean"].to_numpy() == df["w"].to_numpy()).all()
