@@ -90,7 +90,8 @@ BENCH_QUERIES = [
     "docs_chunk_stats", "events_contract",
     "events_schema_migrate", "events_value_ntile",
     "events_value_quantiles_cont", "order_fulfillment",
-    "events_retention", "events_rolling_value", "media_image_real",
+    "events_retention", "events_rolling_value", "events_user_journey",
+    "media_image_real",
     "media_audio_energy",
 ]
 

@@ -496,3 +496,37 @@ def rolling_mean(ds, *, key: str, time: str, tiebreak: str, value: str,
 
     return (_bucketize(ds, key).groupby("_wbkt")
             .map_groups(roll_bucket, batch_format="pandas"))
+
+
+def grouped_string_agg(ds, *, key: str, value: str, order_cols: list[str],
+                       sep: str = ",", out_col: str = "agg"):
+    """Per key: the ordered ``sep``-joined concatenation of ``value`` —
+    ``string_agg(value, sep ORDER BY ...)``, the behavior-sequence /
+    user-journey extraction step (event-type paths for sequence models,
+    breadcrumb assembly, grouped debug traces).
+
+    Scale shape: the output is proportional to the input by definition
+    (every value lands in some key's string), so the op shuffles the
+    projected (key, value, order) rows ONCE on coarse key-hash buckets
+    and each bucket emits one row per key after a single stable lexsort
+    — the same hot-key contract as the other window ops (one key's rows
+    fit one bucket task; at 100 TB cap per-key cardinality upstream or
+    emit chunked sequences).  Join order is fully determined by
+    ``order_cols`` (pass a unique final tiebreak), so the output is
+    deterministic and SQL-replayable.
+    """
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        for c in [key, value] + order_cols:
+            if g[c].isna().any():
+                raise ValueError(f"string_agg column {c!r} has nulls")
+        g = g.sort_values([key] + order_cols, kind="stable")
+        out = (g.groupby(key, sort=False)[value]
+                .agg(lambda s: sep.join(s.astype(str)))
+                .reset_index())
+        out.columns = [key, out_col]
+        return out
+
+    return (_bucketize(ds.select_columns(
+                sorted(set([key, value] + order_cols))), key)
+            .groupby("_wbkt")
+            .map_groups(agg_bucket, batch_format="pandas"))

@@ -2836,6 +2836,27 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_events_user_journey(sf_dir: str):
+    """Behavior-sequence extraction (``ops.window.grouped_string_agg``):
+    per user, the chronologically-ordered comma-joined event-type path —
+    the sequence-model feature every engagement pipeline materializes.
+    One coarse key-bucket shuffle of projected light rows; join order
+    pinned by (ts, event_id); SQL-oracled vs string_agg ORDER BY."""
+    from cutwed_ray.ops.window import grouped_string_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    return grouped_string_agg(ev, key="user_id", value="event_type",
+                              order_cols=["ts", "event_id"],
+                              out_col="type_path")
+
+
+SQL_EVENTS_USER_JOURNEY = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS type_path
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "exact_cluster": q_exact_cluster,
@@ -2895,6 +2916,7 @@ QUERIES = {
     "order_fulfillment": q_order_fulfillment,
     "events_retention": q_events_retention,
     "events_rolling_value": q_events_rolling_value,
+    "events_user_journey": q_events_user_journey,
     # rows-only (non-SQL-expressible):
     "minhash_near_dup": q_minhash_near_dup,
     "minhash_dup_clusters": q_minhash_dup_clusters,
@@ -3018,6 +3040,7 @@ ORACLE = {
     "order_fulfillment": SQL_ORDER_FULFILLMENT,
     "events_retention": SQL_EVENTS_RETENTION,
     "events_rolling_value": SQL_EVENTS_ROLLING_VALUE,
+    "events_user_journey": SQL_EVENTS_USER_JOURNEY,
 }
 
 # Deterministic but not ANSI-SQL-expressible queries (custom 64-bit token

@@ -189,3 +189,26 @@ def test_rolling_mean_brute_force(ray_session):
     df["w"] = want
     df = df.sort_values("i").reset_index(drop=True)
     assert (out["rolling_mean"].to_numpy() == df["w"].to_numpy()).all()
+
+
+def test_grouped_string_agg_order_and_nulls(ray_session):
+    import ray.data as rd
+
+    from cutwed_ray.ops.window import grouped_string_agg
+
+    t = pa.table({"k": pa.array([2, 1, 1, 2, 1], pa.int64()),
+                  "v": pa.array(["b", "x", "a", "a", "x"]),
+                  "t": pa.array([5, 3, 1, 4, 2], pa.int64()),
+                  "i": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    out = (grouped_string_agg(rd.from_arrow(t).repartition(3), key="k",
+                              value="v", order_cols=["t", "i"],
+                              out_col="path")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["path"].tolist() == ["a,x,x", "a,b"]
+    bad = pa.table({"k": pa.array([1], pa.int64()),
+                    "v": pa.array([None], pa.string()),
+                    "t": pa.array([1], pa.int64()),
+                    "i": pa.array([0], pa.int64())})
+    with pytest.raises(Exception, match="nulls"):
+        grouped_string_agg(rd.from_arrow(bad), key="k", value="v",
+                           order_cols=["t", "i"]).materialize()
